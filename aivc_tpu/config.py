@@ -1,0 +1,181 @@
+"""Typed configuration for aivc_tpu.
+
+The reference drives everything through untyped ``param`` dicts validated
+against per-function DEFAULT_PARAM dicts (reference:
+src/func_util/nn_util.py:142-158) and hides model hyper-parameters inside
+pickled module files.  Here every knob is a frozen dataclass that is
+serialised next to checkpoints, so a bitstream/checkpoint pair is fully
+self-describing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Tuple
+
+# ---------------------------------------------------------------------------
+# Frame types (reference: src/func_util/GOP_structure.py:22-24)
+# ---------------------------------------------------------------------------
+FRAME_I = 0
+FRAME_P = 1
+FRAME_B = 2
+
+# ---------------------------------------------------------------------------
+# Numerical constants (reference: src/func_util/math_func.py:20-31)
+# ---------------------------------------------------------------------------
+PROBA_MIN = 2.0 ** -16
+LOG_VAR_MIN = -18.4207  # sigma > exp(0.5 * -18.4207) ~ 1e-4
+LOG_VAR_MAX = 10.0      # sigma < exp(0.5 * 10) ~ 148.4
+
+# Latent symbols live in [-AC_MAX_VAL, AC_MAX_VAL - 1]
+# (reference: src/real_life/bitstream.py:67-79)
+AC_MAX_VAL = 256
+
+# Spatial padding multiple: g_a downsamples x16 to y, h_a a further x4 to z,
+# so every input frame is replication-padded up to a multiple of 64 and the
+# true size is carried in the video header (reference handles odd sizes via
+# data_dim crops, src/real_life/decode.py:556-571).
+PAD_MULTIPLE = 64
+Y_DOWNSCALE = 16   # x -> y spatial reduction
+Z_DOWNSCALE = 64   # x -> z spatial reduction
+
+
+@dataclass(frozen=True)
+class ConditionalNetConfig:
+    """Hyper-parameters of one conditional autoencoder (MOFNet or CodecNet).
+
+    Mirrors the attributes the reference decoder reads from the pickled
+    ConditionalNet (reference: src/real_life/decode.py:779-795), which are
+    first-class config here.
+    """
+
+    # Channels of the main latent y and hyper-latent z.
+    nb_ft_y: int = 128
+    nb_ft_z: int = 64
+    # Internal width of the conv stacks.
+    nb_ft: int = 128
+    # Input channels of the analysis transform g_a (3 for CodecNet's frame,
+    # 6/9 for MOFNet which also sees the references).
+    in_c: int = 3
+    # Input channels of the shortcut/conditioning encoder g_a_ref
+    # (0 disables the shortcut transform entirely).
+    in_c_shortcut: int = 3
+    # Output channels of the shortcut transform, concatenated to y_hat at
+    # the synthesis input (reference: src/real_life/decode.py:894-896).
+    out_c_shortcut_y: int = 64
+    # Output channels of the synthesis transform g_s
+    # (3 for CodecNet, 6 for MOFNet: alpha, beta, v_prev, v_next).
+    out_c: int = 3
+    # Parametric pdf family for y ('laplace' or 'normal'),
+    # (reference: src/layers/entropy_coding/pdf_estimator.py:54-62).
+    pdf_family: str = "laplace"
+    # Number of trained rate points (gain-vector pairs) per gain matrix
+    # (reference: src/layers/multi_rate/gain_matrix.py:32-89).
+    n_rates: int = 7
+    # Use separate gain matrices for P and B frames in addition to I
+    # (reference: src/real_life/decode.py:788-793).
+    gain_p_b: bool = True
+    # Insert simplified attention modules in g_a / g_s
+    # (reference: src/layers/misc/attention.py:45-97).
+    use_attention: bool = True
+    # Kernel size of the conv stacks.
+    k_size: int = 5
+
+    @property
+    def sigma_cond_c(self) -> int:
+        """Channels of the hyper-synthesis output: mu and log-variance."""
+        return 2 * self.nb_ft_y
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Full per-frame codec: MOFNet + CodecNet + motion compensation."""
+
+    name: str = "tpu-aivc-base"
+    # MOFNet sees both references (2 x 3 channels) and outputs 6 maps:
+    # alpha, beta, v_prev(2), v_next(2)  (reference: decode.py:730-735).
+    mofnet: ConditionalNetConfig = field(
+        default_factory=lambda: ConditionalNetConfig(
+            nb_ft_y=96,
+            nb_ft_z=48,
+            nb_ft=96,
+            in_c=9,            # frame + prev_ref + next_ref
+            in_c_shortcut=6,   # cat(prev_ref, next_ref), decode.py:710-712
+            out_c_shortcut_y=48,
+            out_c=6,
+        )
+    )
+    # CodecNet codes the frame conditioned on the masked motion-compensated
+    # prediction alpha * x_warp (reference: decode.py:539-549).
+    codecnet: ConditionalNetConfig = field(
+        default_factory=lambda: ConditionalNetConfig(
+            nb_ft_y=128,
+            nb_ft_z=64,
+            nb_ft=128,
+            in_c=6,            # frame + prediction
+            in_c_shortcut=3,   # alpha * x_warp
+            out_c_shortcut_y=64,
+            out_c=3,
+        )
+    )
+    # Rate-distortion lambdas per rate index (highest rate first, mirroring
+    # model.model_param['lambda_tradeoff'] in the reference pickles,
+    # reference: src/model_mngt/model_management.py:97,114).
+    lambda_tradeoff: Tuple[float, ...] = (
+        0.0067, 0.0130, 0.0250, 0.0483, 0.0932, 0.1800, 0.3477
+    )
+    # Distortion used for training: 'mse' or 'ms_ssim'
+    # (reference: src/model_mngt/loss_function.py:197-200).
+    dist_loss: str = "ms_ssim"
+    weight_i_frame_loss: float = 1.0
+
+    def to_json(self) -> str:
+        return json.dumps(dataclasses.asdict(self), indent=2)
+
+    @classmethod
+    def from_json(cls, text: str) -> "ModelConfig":
+        raw = json.loads(text)
+        raw["mofnet"] = ConditionalNetConfig(**raw["mofnet"])
+        raw["codecnet"] = ConditionalNetConfig(**raw["codecnet"])
+        raw["lambda_tradeoff"] = tuple(raw["lambda_tradeoff"])
+        return cls(**raw)
+
+
+@dataclass(frozen=True)
+class CodingConfig:
+    """One encode/decode run (the reference CLI surface, src/aivc.py:16-76)."""
+
+    coding_config: str = "RA"      # 'AI' | 'LDP' | 'RA'
+    gop_size: int = 16
+    intra_period: int = 32
+    idx_rate: float = 0.0          # continuous in [0, n_rates - 1]
+    start_frame: int = 0
+    end_frame: int = -1            # -1: whole sequence
+    flag_bitstream_debug: bool = False
+
+    def gop_struct_name(self) -> str:
+        """Map CLI parameters to a GOP-structure name.
+
+        Same mapping and validation as the reference (src/aivc.py:80-107):
+        AI -> '1_GOP_0'; LDP -> 'LDP_<intra_period>';
+        RA -> '<intra_period/gop_size>_GOP_<gop_size>'.
+        """
+        cc = self.coding_config
+        if cc == "AI":
+            return "1_GOP_0"
+        if cc == "LDP":
+            if not (2 <= self.intra_period <= 65535):
+                raise ValueError(
+                    f"LDP intra_period must be in [2, 65535], got {self.intra_period}"
+                )
+            return f"LDP_{self.intra_period}"
+        if cc == "RA":
+            gs, ip = self.gop_size, self.intra_period
+            if not (2 <= gs <= 65535) or (gs & (gs - 1)) != 0:
+                raise ValueError(f"RA gop_size must be a power of two in [2, 65535], got {gs}")
+            if ip % gs != 0:
+                raise ValueError(f"intra_period ({ip}) must be a multiple of gop_size ({gs})")
+            return f"{ip // gs}_GOP_{gs}"
+        raise ValueError(f"unknown coding_config {cc!r} (expected AI, LDP or RA)")

@@ -1,0 +1,230 @@
+"""ConditionalNet: one conditional autoencoder with hyperprior + gains.
+
+This is the shared shape of MOFNet's inner net and CodecNet's inner net —
+a *ghost* class in the reference (it exists only inside pickled model
+files; its interface is reconstructed in SURVEY.md §2.3 from the decoder
+mirror, reference: src/real_life/decode.py:752-898).  Here it is a
+first-class flax module.
+
+Transforms:
+  g_a      analysis: 4x stride-2 conv (GDN) -> nb_ft_y latents
+  g_a_ref  shortcut/conditioning encoder: same downsampling to
+           out_c_shortcut_y channels (decode.py:887-892)
+  h_a      hyper-analysis: 2x stride-2 -> nb_ft_z
+  h_s      hyper-synthesis: 2x up -> (mu, logvar) of y  (decode.py:853-856)
+  g_s      synthesis from cat(y_hat_gained, y_shortcut) (decode.py:894-896)
+
+Coding pipeline (encoder):
+  y  = g_a(x) * gain_enc(frame_type, idx_rate)
+  z  = h_a(y);  z_q = round(z)                   [transmitted]
+  mu, sigma = pdf_param(h_s(z_q))
+  y_cq = clip(round(y - mu))                     [transmitted, zero-mean]
+Decoder (mirrors decode.py:839-896):
+  y_hat = (y_cq + mu) * gain_dec(frame_type, idx_rate)
+  x_hat = g_s(cat(y_hat, g_a_ref(shortcut) or zeros))
+
+mu is subtracted before quantization, so entropy coding always sees the
+zero-mean Laplace (reference: pdf_estimator.py:45-46, decode.py:858-867).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from aivc_tpu.config import AC_MAX_VAL, FRAME_B, FRAME_I, FRAME_P, ConditionalNetConfig
+from aivc_tpu.ops.entropy_models import (
+    FactorizedPrior,
+    bin_prob,
+    pdf_parameterize,
+    rate_bits,
+)
+from aivc_tpu.ops.gain import GainMatrix
+from aivc_tpu.ops.layers import ConvBlock, SimplifiedAttention, UpBlock
+from aivc_tpu.ops.quantizer import quantize
+
+
+class AnalysisTransform(nn.Module):
+    """g_a / g_a_ref: 4x stride-2 downsampling conv stack with GDN."""
+
+    nb_ft: int
+    out_ft: int
+    k_size: int = 5
+    use_attention: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn")(x)
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn")(x)
+        if self.use_attention:
+            x = SimplifiedAttention(self.nb_ft)(x)
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn")(x)
+        x = ConvBlock(self.out_ft, self.k_size, stride=2, non_linearity="no")(x)
+        return x
+
+
+class SynthesisTransform(nn.Module):
+    """g_s: 4x stride-2 upsampling with IGDN."""
+
+    nb_ft: int
+    out_ft: int
+    k_size: int = 5
+    use_attention: bool = True
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse")(y)
+        if self.use_attention:
+            y = SimplifiedAttention(self.nb_ft)(y)
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse")(y)
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse")(y)
+        y = UpBlock(self.out_ft, self.k_size, non_linearity="no")(y)
+        return y
+
+
+class HyperAnalysis(nn.Module):
+    nb_ft: int
+    out_ft: int
+
+    @nn.compact
+    def __call__(self, y: jax.Array) -> jax.Array:
+        y = ConvBlock(self.nb_ft, 3, non_linearity="leaky_relu")(jnp.abs(y))
+        y = ConvBlock(self.nb_ft, 5, stride=2, non_linearity="leaky_relu")(y)
+        y = ConvBlock(self.out_ft, 5, stride=2, non_linearity="no")(y)
+        return y
+
+
+class HyperSynthesis(nn.Module):
+    nb_ft: int
+    out_ft: int  # 2 * nb_ft_y: mu and logvar
+
+    @nn.compact
+    def __call__(self, z: jax.Array) -> jax.Array:
+        z = UpBlock(self.nb_ft, 5, non_linearity="leaky_relu")(z)
+        z = UpBlock(self.nb_ft, 5, non_linearity="leaky_relu")(z)
+        z = ConvBlock(self.out_ft, 3, non_linearity="no")(z)
+        return z
+
+
+class ConditionalNet(nn.Module):
+    """Full conditional coder; see module docstring for dataflow."""
+
+    cfg: ConditionalNetConfig
+
+    def setup(self):
+        c = self.cfg
+        self.g_a = AnalysisTransform(c.nb_ft, c.nb_ft_y, c.k_size, c.use_attention)
+        if c.in_c_shortcut > 0:
+            self.g_a_ref = AnalysisTransform(
+                c.nb_ft, c.out_c_shortcut_y, c.k_size, use_attention=False)
+        self.g_s = SynthesisTransform(c.nb_ft, c.out_c, c.k_size, c.use_attention)
+        self.h_a = HyperAnalysis(c.nb_ft_z, c.nb_ft_z)
+        self.h_s = HyperSynthesis(c.nb_ft_y, c.sigma_cond_c)
+        self.pdf_z = FactorizedPrior(c.nb_ft_z)
+        self.gain_I = GainMatrix(c.n_rates, c.nb_ft_y)
+        if c.gain_p_b:
+            self.gain_P = GainMatrix(c.n_rates, c.nb_ft_y)
+            self.gain_B = GainMatrix(c.n_rates, c.nb_ft_y)
+
+    # -- gain selection (frame_type is a static python int: the three frame
+    # -- functions are separate XLA specializations, per SURVEY.md §7)
+    def _gain(self, x, idx_rate, mode: str, frame_type: int):
+        if not self.cfg.gain_p_b or frame_type == FRAME_I:
+            return self.gain_I(x, idx_rate, mode)
+        if frame_type == FRAME_P:
+            return self.gain_P(x, idx_rate, mode)
+        if frame_type == FRAME_B:
+            return self.gain_B(x, idx_rate, mode)
+        raise ValueError(f"bad frame_type {frame_type}")
+
+    # ------------------------------------------------------------------
+    # Encoder-side: full latent production
+    # ------------------------------------------------------------------
+    def encode_latents(self, x: jax.Array, idx_rate, frame_type: int,
+                       training: bool = False,
+                       rng: Optional[jax.Array] = None):
+        """x: [B, H, W, in_c] -> latents + coding side-info.
+
+        Returns a dict with quantized integer latents (y_cq, z_q), the
+        distribution parameters (mu, sigma from the *quantized* z, so the
+        decoder reproduces them exactly), and rate estimates in bits.
+        """
+        y = self.g_a(x)
+        y = self._gain(y, idx_rate, "enc", frame_type)
+        z = self.h_a(y)
+
+        if training:
+            rng_z, rng_y = jax.random.split(rng)
+            z_q = quantize(z, training=True, rng=rng_z)
+        else:
+            z_q = jnp.clip(jnp.round(z), -AC_MAX_VAL, AC_MAX_VAL - 1)
+
+        mu, sigma = pdf_parameterize(self.h_s(z_q), self.cfg.nb_ft_y)
+
+        y_centered = y - mu
+        if training:
+            y_cq = quantize(y_centered, training=True, rng=rng_y)
+        else:
+            y_cq = jnp.clip(jnp.round(y_centered), -AC_MAX_VAL, AC_MAX_VAL - 1)
+
+        rate_z = rate_bits(self.pdf_z(z_q))
+        rate_y = rate_bits(bin_prob(y_cq, sigma, self.cfg.pdf_family))
+
+        return {
+            "y_cq": y_cq,
+            "z_q": z_q,
+            "mu": mu,
+            "sigma": sigma,
+            "rate_y": rate_y,
+            "rate_z": rate_z,
+        }
+
+    def analyze(self, x: jax.Array, idx_rate, frame_type: int):
+        """Eval-only analysis: x -> (gained y, integer z_q).
+
+        The pipeline deliberately splits coding into analyze / hyper_decode /
+        synthesize stages so the encoder and decoder run the *same compiled
+        programs* for every computation whose float bits feed entropy
+        coding (sigma) or the reconstruction loop — the XLA analogue of the
+        reference's determinism contract
+        (reference: src/func_util/cluster_mngt.py:27-37, encode.py:94).
+        """
+        y = self.g_a(x)
+        y = self._gain(y, idx_rate, "enc", frame_type)
+        z = self.h_a(y)
+        z_q = jnp.clip(jnp.round(z), -AC_MAX_VAL, AC_MAX_VAL - 1)
+        return y, z_q
+
+    # ------------------------------------------------------------------
+    # Decoder-side pieces (also used by the encoder to close the loop)
+    # ------------------------------------------------------------------
+    def hyper_decode(self, z_q: jax.Array):
+        """Decoded z -> (mu, sigma); bit-identical to the encoder's use."""
+        return pdf_parameterize(self.h_s(z_q), self.cfg.nb_ft_y)
+
+    def synthesize(self, y_cq: jax.Array, mu: jax.Array,
+                   shortcut_in: Optional[jax.Array], idx_rate,
+                   frame_type: int) -> jax.Array:
+        """(y_cq + mu) -> gain(dec) -> cat shortcut -> g_s
+        (reference: decode.py:858-896)."""
+        y_hat = y_cq + mu
+        y_hat = self._gain(y_hat, idx_rate, "dec", frame_type)
+        if shortcut_in is not None and self.cfg.in_c_shortcut > 0:
+            y_shortcut = self.g_a_ref(shortcut_in)
+        else:
+            B, H, W, _ = y_hat.shape
+            y_shortcut = jnp.zeros(
+                (B, H, W, self.cfg.out_c_shortcut_y), y_hat.dtype)
+        return self.g_s(jnp.concatenate([y_hat, y_shortcut], axis=-1))
+
+    # ------------------------------------------------------------------
+    def __call__(self, x, shortcut_in, idx_rate, frame_type: int,
+                 training: bool = False, rng: Optional[jax.Array] = None):
+        """Full conditional coding round trip (training / eval forward)."""
+        lat = self.encode_latents(x, idx_rate, frame_type, training, rng)
+        out = self.synthesize(lat["y_cq"], lat["mu"], shortcut_in,
+                              idx_rate, frame_type)
+        return out, lat

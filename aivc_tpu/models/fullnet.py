@@ -1,0 +1,157 @@
+"""FullNet: the per-frame video codec (MOFNet + motion comp + CodecNet).
+
+First-class implementation of the reference's ghost FullNet (pickle-only;
+interface reconstructed in SURVEY.md §2.3 from
+reference: src/real_life/decode.py:429-580 and
+src/model_mngt/model_management.py:307-320).
+
+Per-frame dataflow (mirrors the decoder reconstruction, decode.py:492-553):
+
+  P/B frames:
+    mofnet codes cat(frame, prev, next) conditioned on cat(prev, next)
+      -> 6 maps: alpha, beta, v_prev(2), v_next(2)   (decode.py:730-735)
+      -> P forces beta = 1, v_next = 0               (decode.py:737-739)
+    x_warp = beta * warp(prev, v_prev) + (1-beta) * warp(next, v_next)
+    skip   = (1 - alpha) * x_warp                    (decode.py:536)
+    codecnet codes cat(frame, alpha*x_warp) conditioned on alpha*x_warp
+    x_hat  = codecnet_out + skip                     (decode.py:549)
+  I frames:
+    alpha = 1, x_warp = 0, skip = 0; codecnet unconditioned
+                                                     (decode.py:500-504)
+
+All tensors are padded 4:4:4 NHWC; YUV420 conversion and cropping to the
+true frame size happen in the pipeline layer.  frame_type is static, so
+XLA compiles three specializations instead of branching at runtime.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from aivc_tpu.config import FRAME_B, FRAME_I, FRAME_P, ModelConfig
+from aivc_tpu.models.conditional import ConditionalNet
+from aivc_tpu.ops.warp import motion_compensation
+
+
+def _mofnet_maps(out6: jax.Array, frame_type: int):
+    """Split MOFNet synthesis output into alpha/beta/flows
+    (reference: decode.py:730-739)."""
+    alpha = jnp.clip(out6[..., 0:1] + 0.5, 0.0, 1.0)
+    beta = jnp.clip(out6[..., 1:2] + 0.5, 0.0, 1.0)
+    v_prev = out6[..., 2:4]
+    v_next = out6[..., 4:6]
+    if frame_type == FRAME_P:
+        beta = jnp.ones_like(beta)
+        v_next = jnp.zeros_like(v_next)
+    return alpha, beta, v_prev, v_next
+
+
+class FullNet(nn.Module):
+    cfg: ModelConfig
+
+    def setup(self):
+        self.mofnet = ConditionalNet(self.cfg.mofnet)
+        self.codecnet = ConditionalNet(self.cfg.codecnet)
+
+    # ------------------------------------------------------------------
+    # Encoder-side full forward for one frame
+    # ------------------------------------------------------------------
+    def forward_frame(self, frame: jax.Array, prev: jax.Array, nxt: jax.Array,
+                      idx_rate, frame_type: int, training: bool = False,
+                      rng: Optional[jax.Array] = None):
+        """Code one padded 4:4:4 frame given (possibly zero) references.
+
+        Returns (x_hat444, aux) where aux carries everything the loss and
+        the bitstream writer need: quantized latents, sigmas, rate maps,
+        alpha/beta/x_warp.
+        """
+        B, H, W, _ = frame.shape
+        aux = {}
+
+        if frame_type == FRAME_I:
+            alpha = jnp.ones((B, H, W, 1), frame.dtype)
+            x_warp = jnp.zeros_like(frame)
+            skip = jnp.zeros_like(frame)
+            pred = jnp.zeros_like(frame)
+            aux["mof"] = None
+        else:
+            rng_m = rng_c = None
+            if training:
+                rng_m, rng_c = jax.random.split(rng)
+                rng = rng_c
+            mof_in = jnp.concatenate([frame, prev, nxt], axis=-1)
+            shortcut = (jnp.concatenate([prev, nxt], axis=-1)
+                        if frame_type == FRAME_B else None)
+            out6, mof_lat = self.mofnet(
+                mof_in, shortcut, idx_rate, frame_type, training, rng_m)
+            alpha, beta, v_prev, v_next = _mofnet_maps(out6, frame_type)
+            x_warp = motion_compensation(prev, nxt, v_prev, v_next, beta)
+            skip = (1.0 - alpha) * x_warp
+            pred = alpha * x_warp
+            aux["mof"] = mof_lat
+            aux["beta"] = beta
+            aux["v_prev"] = v_prev
+            aux["v_next"] = v_next
+
+        cod_in = jnp.concatenate([frame, pred], axis=-1)
+        cod_shortcut = pred if frame_type != FRAME_I else None
+        cod_out, cod_lat = self.codecnet(
+            cod_in, cod_shortcut, idx_rate, frame_type, training, rng)
+
+        x_hat = cod_out + skip
+        aux["cod"] = cod_lat
+        aux["alpha"] = alpha
+        aux["x_warp"] = x_warp
+        if frame_type == FRAME_I:
+            aux["beta"] = jnp.ones_like(alpha)
+        return x_hat, aux
+
+    # ------------------------------------------------------------------
+    # Granular stage methods, shared verbatim by encoder and decoder so
+    # both sides run identical compiled programs (see ConditionalNet.analyze
+    # docstring).  The host range coder sits between the stages: z is
+    # decoded before sigma exists, y before synthesis.
+    # ------------------------------------------------------------------
+    def mof_analyze(self, frame, prev, nxt, idx_rate, frame_type: int):
+        mof_in = jnp.concatenate([frame, prev, nxt], axis=-1)
+        return self.mofnet.analyze(mof_in, idx_rate, frame_type)
+
+    def cod_analyze(self, frame, pred, idx_rate, frame_type: int):
+        cod_in = jnp.concatenate([frame, pred], axis=-1)
+        return self.codecnet.analyze(cod_in, idx_rate, frame_type)
+
+    def mofnet_hyper(self, z_q):
+        return self.mofnet.hyper_decode(z_q)
+
+    def codecnet_hyper(self, z_q):
+        return self.codecnet.hyper_decode(z_q)
+
+    def mofnet_synth(self, y_cq, mu, prev, nxt, idx_rate, frame_type: int):
+        """MOFNet synthesis + motion compensation -> prediction and skip."""
+        shortcut = (jnp.concatenate([prev, nxt], axis=-1)
+                    if frame_type == FRAME_B else None)
+        out6 = self.mofnet.synthesize(y_cq, mu, shortcut, idx_rate, frame_type)
+        alpha, beta, v_prev, v_next = _mofnet_maps(out6, frame_type)
+        x_warp = motion_compensation(prev, nxt, v_prev, v_next, beta)
+        pred = alpha * x_warp
+        skip = (1.0 - alpha) * x_warp
+        return {"alpha": alpha, "beta": beta, "x_warp": x_warp,
+                "pred": pred, "skip": skip}
+
+    def codecnet_synth(self, y_cq, mu, pred, skip, idx_rate, frame_type: int):
+        shortcut = pred if frame_type != FRAME_I else None
+        out = self.codecnet.synthesize(y_cq, mu, shortcut, idx_rate, frame_type)
+        return out + skip
+
+    # ------------------------------------------------------------------
+    def init_all(self, frame, prev, nxt):
+        """Touch every submodule and gain matrix so init() creates the full
+        parameter tree (I, P and B paths)."""
+        _ = self.forward_frame(frame, prev, nxt, 0.0, FRAME_I)
+        _ = self.forward_frame(frame, prev, nxt, 0.0, FRAME_P)
+        x, aux = self.forward_frame(frame, prev, nxt, 0.0, FRAME_B)
+        return x

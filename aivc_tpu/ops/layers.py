@@ -1,0 +1,169 @@
+"""Convolutional building blocks (NHWC, XLA-friendly).
+
+Functional re-design of the reference layer library
+(reference: src/layers/misc/custom_conv_layers.py, src/layers/misc/attention.py,
+src/layers/ae/ae_layers.py).  All convolutions use replication (edge)
+padding so spatial tiling across a device mesh only needs halo exchange,
+never zero-phantom pixels; downsampling is stride-2 conv, upsampling is
+stride-2 transposed conv (exact x2, mirroring the reference's
+ConvTranspose2d stride-2/output-padding-1 parameterisation).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from aivc_tpu.ops.gdn import GDN
+
+
+def replication_pad(x: jax.Array, pad: int) -> jax.Array:
+    """Edge-replication padding on H and W of an NHWC tensor
+    (reference pads with ReplicationPad2d, custom_conv_layers.py:145-153)."""
+    if pad == 0:
+        return x
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+
+
+def _nonlinearity(name: str, ch: int) -> Optional[Callable]:
+    if name == "gdn":
+        return GDN(ch, inverse=False)
+    if name == "gdn_inverse":
+        return GDN(ch, inverse=True)
+    if name == "leaky_relu":
+        return lambda x: jax.nn.leaky_relu(x, 0.01)
+    if name == "relu":
+        return jax.nn.relu
+    if name == "no":
+        return None
+    raise ValueError(f"unknown non-linearity {name!r}")
+
+
+class ConvBlock(nn.Module):
+    """Replication-pad + conv + nonlinearity
+    (reference CustomConvLayer, custom_conv_layers.py:129-180)."""
+
+    out_ft: int
+    k_size: int = 5
+    stride: int = 1
+    non_linearity: str = "leaky_relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        pad = self.k_size // 2
+        x = replication_pad(x, pad)
+        x = nn.Conv(self.out_ft, (self.k_size, self.k_size),
+                    strides=(self.stride, self.stride), padding="VALID")(x)
+        nl = _nonlinearity(self.non_linearity, self.out_ft)
+        return nl(x) if nl is not None else x
+
+
+class UpBlock(nn.Module):
+    """Exact x2 upsampling via stride-2 transposed conv + nonlinearity
+    (reference UpscalingLayer, custom_conv_layers.py:183-253)."""
+
+    out_ft: int
+    k_size: int = 5
+    non_linearity: str = "leaky_relu"
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        x = nn.ConvTranspose(self.out_ft, (self.k_size, self.k_size),
+                             strides=(2, 2), padding="SAME")(x)
+        nl = _nonlinearity(self.non_linearity, self.out_ft)
+        return nl(x) if nl is not None else x
+
+
+class ResBlock(nn.Module):
+    """pad-conv-relu-pad-conv with relu(x + f(x))
+    (reference: custom_conv_layers.py:112-126)."""
+
+    nb_ft: int
+    k_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        h = ConvBlock(self.nb_ft, self.k_size, non_linearity="relu")(x)
+        h = ConvBlock(self.nb_ft, self.k_size, non_linearity="no")(h)
+        return jax.nn.relu(x + h)
+
+
+class ChengResBlock(nn.Module):
+    """Residual blocks from Cheng et al. 2019: plain / down (stride-2 + GDN,
+    1x1-stride-2 skip) / up (tconv + IGDN, tconv skip)
+    (reference: custom_conv_layers.py:21-109)."""
+
+    nb_ft: int
+    mode: str = "plain"  # 'plain' | 'down' | 'up'
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        if self.mode == "plain":
+            h = ConvBlock(self.nb_ft, 3, non_linearity="leaky_relu")(x)
+            h = ConvBlock(self.nb_ft, 3, non_linearity="leaky_relu")(h)
+            return x + h
+        if self.mode == "down":
+            h = ConvBlock(self.nb_ft, 3, stride=2, non_linearity="leaky_relu")(x)
+            h = ConvBlock(self.nb_ft, 3, non_linearity="gdn")(h)
+            skip = nn.Conv(self.nb_ft, (1, 1), strides=(2, 2))(x)
+            return skip + h
+        if self.mode == "up":
+            h = UpBlock(self.nb_ft, 3, non_linearity="leaky_relu")(x)
+            h = ConvBlock(self.nb_ft, 3, non_linearity="gdn_inverse")(h)
+            skip = UpBlock(self.nb_ft, 3, non_linearity="no")(x)
+            return skip + h
+        raise ValueError(f"unknown ChengResBlock mode {self.mode!r}")
+
+
+class SimplifiedAttention(nn.Module):
+    """Cheng-style trunk * sigmoid(attention) + x
+    (reference: src/layers/misc/attention.py:45-97)."""
+
+    nb_ft: int
+    k_size: int = 3
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        trunk = x
+        for _ in range(3):
+            trunk = ResBlock(self.nb_ft, self.k_size)(trunk)
+        attn = x
+        for _ in range(3):
+            attn = ResBlock(self.nb_ft, self.k_size)(attn)
+        attn = nn.Conv(self.nb_ft, (1, 1))(attn)
+        attn = jax.nn.sigmoid(attn)
+        return trunk * attn + x
+
+
+# ---------------------------------------------------------------------------
+# YUV420 <-> 444 boundary layers
+# ---------------------------------------------------------------------------
+
+def yuv420_to_444(y: jax.Array, u: jax.Array, v: jax.Array) -> jax.Array:
+    """Nearest-upsample U,V x2 and crop to Y size, concat to 3 channels
+    (reference InputLayer, src/layers/ae/ae_layers.py:17-35).
+
+    y: [B, H, W, 1]; u, v: [B, ceil(H/2), ceil(W/2), 1] -> [B, H, W, 3].
+    """
+    H, W = y.shape[1], y.shape[2]
+    uv = jnp.concatenate([u, v], axis=-1)
+    uv = jnp.repeat(jnp.repeat(uv, 2, axis=1), 2, axis=2)[:, :H, :W, :]
+    return jnp.concatenate([y, uv], axis=-1)
+
+
+def x444_to_yuv420(x: jax.Array):
+    """Split a 4:4:4 tensor into a YUV420 triple.
+
+    U and V are downscaled x0.5 with bilinear/align_corners=False semantics,
+    which for an exact factor of two reduces to 2x2 mean pooling
+    (reference OutputLayer, src/layers/ae/ae_layers.py:38-56).  Odd sizes are
+    handled upstream by padding to PAD_MULTIPLE and cropping via data_dim.
+    """
+    y = x[..., 0:1]
+    uv = x[..., 1:3]
+    B, H, W, _ = uv.shape
+    uv = uv.reshape(B, H // 2, 2, W // 2, 2, 2).mean(axis=(2, 4))
+    return y, uv[..., 0:1], uv[..., 1:2]

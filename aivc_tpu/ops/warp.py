@@ -1,0 +1,90 @@
+"""Bilinear motion-compensation warp.
+
+TPU-native re-design of the reference's grid_sample-based warp
+(reference: src/func_util/optical_flow.py:14-55).  The reference builds a
+normalised mesh-grid, adds the flow, and calls
+``grid_sample(mode='bilinear', padding_mode='border', align_corners=True)``,
+then multiplies by a validity mask obtained by warping an all-ones image.
+With border padding every sample is a convex combination of in-bounds
+pixels of the ones image, so the mask is identically 1 and the whole
+operation reduces to: sample at (x + flow_x, y + flow_y) with coordinates
+clamped to the image rectangle, bilinear interpolation.  That reduction is
+what we implement — one gather + fused multiply-adds instead of two
+grid_samples.
+
+Layout is NHWC (TPU-native).  Flow channel 0 is the horizontal (W)
+displacement, channel 1 the vertical (H) displacement, matching the
+reference's (xx, yy) grid concatenation order.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def warp(x: jax.Array, flow: jax.Array) -> jax.Array:
+    """Backward-warp ``x`` by ``flow``.
+
+    Args:
+      x:    [B, H, W, C] source image (the reference frame).
+      flow: [B, H, W, 2] optical flow; output(y, x) = x(y + v, x + u).
+
+    Returns:
+      [B, H, W, C] warped image.
+    """
+    B, H, W, C = x.shape
+    dtype = x.dtype
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+
+    sx = xx[None] + flow[..., 0].astype(jnp.float32)
+    sy = yy[None] + flow[..., 1].astype(jnp.float32)
+
+    # padding_mode='border': clamp sample coordinates to the rectangle.
+    sx = jnp.clip(sx, 0.0, W - 1)
+    sy = jnp.clip(sy, 0.0, H - 1)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0).astype(dtype)[..., None]
+    wy = (sy - y0).astype(dtype)[..., None]
+
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, W - 1)
+    y1i = jnp.minimum(y0i + 1, H - 1)
+
+    flat = x.reshape(B, H * W, C)
+
+    def gather(yi, xi):
+        idx = yi * W + xi  # [B, H, W]
+        return jnp.take_along_axis(
+            flat, idx.reshape(B, H * W, 1), axis=1
+        ).reshape(B, H, W, C)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x1i)
+    v10 = gather(y1i, x0i)
+    v11 = gather(y1i, x1i)
+
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
+def motion_compensation(
+    prev: jax.Array,
+    nxt: jax.Array,
+    v_prev: jax.Array,
+    v_next: jax.Array,
+    beta: jax.Array,
+) -> jax.Array:
+    """Bi-directional motion-compensated prediction.
+
+    x_warp = beta * warp(prev, v_prev) + (1 - beta) * warp(next, v_next)
+    with beta forced to 1 (and v_next to 0) for P-frames upstream
+    (reference: src/real_life/decode.py:524-533,737-739).
+    """
+    return beta * warp(prev, v_prev) + (1.0 - beta) * warp(nxt, v_next)

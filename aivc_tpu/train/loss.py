@@ -1,0 +1,107 @@
+"""Rate-distortion loss over a GOP (training path).
+
+Re-implements the reference loss semantics
+(reference: src/model_mngt/loss_function.py:103-257):
+  loss = sum_frames [ l_codec * R_codec + l_mof * R_mode + D ]
+with D = MSE or (1 - MS-SSIM) on pixel-count-weighted YUV planes,
+I-frame weighting, and padded frames contributing rate but not
+distortion (loss_function.py:292-311).
+
+The GOP walk is unrolled in coding order inside one jit: frame types and
+the dependency DAG are static, references flow through the reconstruction
+(x_hat) so gradients reach MOFNet through the temporal chain.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import jax
+import jax.numpy as jnp
+
+from aivc_tpu.config import FRAME_I, ModelConfig
+from aivc_tpu.gop import GopStruct
+from aivc_tpu.models.fullnet import FullNet
+from aivc_tpu.ops.layers import x444_to_yuv420
+from aivc_tpu.ops.metrics import yuv_mse, yuv_msssim
+
+
+def _to_yuv(x444):
+    y, u, v = x444_to_yuv420(x444)
+    return {"y": y, "u": u, "v": v}
+
+
+def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
+                gop: GopStruct, idx_rate: int, rng: jax.Array,
+                l_codec: float, l_mof: float,
+                dist_loss: str = "mse",
+                weight_i_frame_loss: float = 1.0,
+                nb_pad_frame: int = 0,
+                training: bool = True):
+    """frames444: list of [B, H, W, 3] padded frames in display order.
+
+    Returns (loss, metrics dict).
+    """
+    n = len(gop)
+    B, H, W, _ = frames444[0].shape
+    nb_pixel = H * W
+
+    recon: Dict[int, jax.Array] = {}
+    zeros = jnp.zeros_like(frames444[0])
+
+    total_loss = 0.0
+    logs = {"rate_bpp": 0.0, "mode_rate_bpp": 0.0, "codec_rate_bpp": 0.0,
+            "mse": 0.0, "dist": 0.0}
+    n_dist = n - nb_pad_frame
+
+    for step, spec in enumerate(gop.coding_order):
+        rng, rng_f = jax.random.split(rng)
+        frame = frames444[spec.idx]
+        prev = recon.get(spec.prev_ref, zeros) if spec.prev_ref is not None else zeros
+        nxt = recon.get(spec.next_ref, zeros) if spec.next_ref is not None else zeros
+
+        x_hat, aux = model.apply(
+            params, frame, prev, nxt, float(idx_rate), spec.frame_type,
+            training, rng_f, method=FullNet.forward_frame)
+        recon[spec.idx] = x_hat
+
+        cod = aux["cod"]
+        codec_rate = (cod["rate_y"].sum() + cod["rate_z"].sum()) / (B * nb_pixel)
+        if aux["mof"] is not None:
+            mof = aux["mof"]
+            mode_rate = (mof["rate_y"].sum() + mof["rate_z"].sum()) / (B * nb_pixel)
+        else:
+            mode_rate = jnp.float32(0.0)
+
+        is_padded = spec.idx >= n - nb_pad_frame
+        if is_padded:
+            dist = jnp.float32(0.0)
+            mse = jnp.float32(0.0)
+        else:
+            yuv_hat = _to_yuv(x_hat)
+            yuv_ref = _to_yuv(frame)
+            mse = yuv_mse(yuv_hat, yuv_ref)
+            if dist_loss == "ms_ssim":
+                dist = 1.0 - yuv_msssim(yuv_hat, yuv_ref)
+            else:
+                dist = mse
+
+        cur = l_codec * codec_rate + l_mof * mode_rate + dist
+        if spec.frame_type == FRAME_I:
+            cur = cur * weight_i_frame_loss
+        total_loss = total_loss + cur
+
+        logs["rate_bpp"] += codec_rate + mode_rate
+        logs["mode_rate_bpp"] += mode_rate
+        logs["codec_rate_bpp"] += codec_rate
+        logs["mse"] += mse
+        logs["dist"] += dist
+
+    logs = {k: v / n for k, v in logs.items()}
+    # Distortion averages exclude padded frames
+    # (reference: loss_function.py:307-328)
+    if n_dist > 0:
+        logs["mse"] = logs["mse"] * n / n_dist
+        logs["dist"] = logs["dist"] * n / n_dist
+    logs["psnr"] = 10.0 * jnp.log10(1.0 / jnp.maximum(logs["mse"], 1e-12))
+    return total_loss, logs

@@ -1,0 +1,64 @@
+"""Training step + multi-rate schedule (optax).
+
+The reference ships pre-trained pickles and no training loop in-tree;
+this module provides the missing capability: an end-to-end jitted RD
+training step over a GOP, with the multi-rate regime of the gain-vector
+papers (sample an integer rate index per step and weight the loss by the
+matching lambda, reference: src/model_mngt/loss_function.py:129-131
+'loss_weighting ... used for the multi-rate training').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from aivc_tpu.config import ModelConfig
+from aivc_tpu.gop import GopStruct
+from aivc_tpu.models.fullnet import FullNet
+from aivc_tpu.train.loss import gop_rd_loss
+
+
+def make_optimizer(lr: float = 1e-4, clip: float = 1.0):
+    return optax.chain(
+        optax.clip_by_global_norm(clip),
+        optax.adam(lr),
+    )
+
+
+def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
+                    optimizer, dist_loss: str | None = None):
+    """Build a jitted train step over a fixed GOP structure.
+
+    The returned step has signature
+      (params, opt_state, frames [n, B, H, W, 3], idx_rate: int, rng)
+      -> (params, opt_state, logs)
+    idx_rate is static (one compiled program per trained rate index, as
+    each has its own lambda).
+    """
+    dist = dist_loss or cfg.dist_loss
+
+    @functools.partial(jax.jit, static_argnames=("idx_rate",))
+    def train_step(params, opt_state, frames, idx_rate: int, rng):
+        lam = cfg.lambda_tradeoff[idx_rate]
+
+        def loss_fn(p):
+            frame_list = [frames[i] for i in range(frames.shape[0])]
+            loss, logs = gop_rd_loss(
+                model, p, frame_list, gop, idx_rate, rng,
+                l_codec=lam, l_mof=lam, dist_loss=dist,
+                weight_i_frame_loss=cfg.weight_i_frame_loss)
+            return loss, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        logs["loss"] = loss
+        logs["grad_norm"] = optax.global_norm(grads)
+        return params, opt_state, logs
+
+    return train_step

@@ -1,0 +1,1 @@
+from aivc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint  # noqa: F401

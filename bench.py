@@ -1,0 +1,100 @@
+"""Benchmark: encode+decode throughput on the flagship 1080p RA config.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline note: the reference publishes no FPS numbers (BASELINE.md — only
+per-run log lines).  BASELINE.json's target is >= 2x the reference's
+1080p encode FPS on one chip; we take a 1.5 frames/s estimate for the
+reference (PyTorch-1.7-era learned video codec at 1080p on a datacenter
+GPU), so vs_baseline = fps / 3.0 means >= 1.0 hits the 2x target.
+
+Env overrides: BENCH_H, BENCH_W, BENCH_GOP, BENCH_MODEL=tiny|base.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np  # noqa: E402
+
+
+def synthetic_frames(n, h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    # Smooth, slowly-moving content: compressible like natural video.
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    phase = rng.uniform(0, 6.28, size=3)
+    for t in range(n):
+        y = (
+            128
+            + 60 * np.sin(xx / 37.0 + 0.12 * t + phase[0])
+            + 50 * np.cos(yy / 23.0 - 0.07 * t + phase[1])
+        )
+        u = 128 + 30 * np.sin((xx + yy) / 51.0 + 0.05 * t + phase[2])
+        frames.append({
+            "y": np.clip(y, 0, 255).astype(np.uint8),
+            "u": np.clip(u[::2, ::2], 0, 255).astype(np.uint8)[: (h + 1) // 2, : (w + 1) // 2],
+            "v": np.clip(255 - u[::2, ::2], 0, 255).astype(np.uint8)[: (h + 1) // 2, : (w + 1) // 2],
+        })
+    return frames
+
+
+def main():
+    from aivc_tpu.config import CodingConfig, ModelConfig
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video
+
+    h = int(os.environ.get("BENCH_H", "1080"))
+    w = int(os.environ.get("BENCH_W", "1920"))
+    gop_size = int(os.environ.get("BENCH_GOP", "8"))
+    model_name = os.environ.get("BENCH_MODEL", "base")
+
+    cfg = TINY if model_name == "tiny" else ModelConfig()
+    _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
+    codec = FrameCodec(cfg, params, h, w)
+
+    n = gop_size + 1
+    frames = synthetic_frames(n, h, w)
+    coding = CodingConfig(coding_config="RA", gop_size=gop_size,
+                          intra_period=gop_size)
+
+    # Warm-up: compile every stage (I/P/B), then measure steady state.
+    res = encode_video(codec, frames, coding)
+    _ = decode_video(codec, res.bitstream)
+
+    t0 = time.time()
+    res = encode_video(codec, frames, coding)
+    t_enc = time.time() - t0
+    t0 = time.time()
+    dec = decode_video(codec, res.bitstream)
+    t_dec = time.time() - t0
+
+    # Sanity: closed loop must hold or the number is meaningless.
+    for idx in dec:
+        for k in ("y", "u", "v"):
+            if not np.array_equal(dec[idx][k], res.decoded_frames[idx][k]):
+                raise AssertionError(f"enc/dec drift at frame {idx} plane {k}")
+
+    fps = n / (t_enc + t_dec)
+    print(json.dumps({
+        "metric": f"encode+decode fps, {w}x{h} RA GOP{gop_size}, "
+                  f"{cfg.name} (1 chip)",
+        "value": round(fps, 3),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 3.0, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
