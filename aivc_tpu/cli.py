@@ -43,6 +43,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="all",
                    choices=["all", "encode", "decode", "evaluate"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--bitstream_debug", action="store_true",
+                   help="per-chunk AC lossless self-check, rate overhead "
+                        "report, and encoder/decoder md5 drift manifest")
     return p
 
 
@@ -102,11 +105,16 @@ def main(argv=None) -> int:
 
     decoded = None
     if args.mode in ("all", "encode"):
-        codec = FrameCodec(cfg, params, h, w)
+        codec = FrameCodec(cfg, params, h, w, debug=args.bitstream_debug)
         t0 = time.time()
         res = encode_video(codec, frames, coding)
         dt = time.time() - t0
         Path(args.bitstream_out).write_bytes(res.bitstream)
+        if args.bitstream_debug:
+            from aivc_tpu.utils.debug import write_md5_manifest
+
+            write_md5_manifest(res.decoded_frames,
+                               args.bitstream_out + ".md5.json")
         n_pix = h * w
         print(f"[RESULT] bitstream bytes      : {res.total_bytes}")
         print(f"[RESULT] rate bpp             : "
@@ -123,6 +131,13 @@ def main(argv=None) -> int:
         decoded = decode_video(codec, data)
         dt = time.time() - t0
         print(f"[RESULT] decoding fps         : {len(decoded) / dt:.2f}")
+        manifest = Path(args.bitstream_out + ".md5.json")
+        if args.bitstream_debug and manifest.exists():
+            from aivc_tpu.utils.debug import check_md5_manifest
+
+            ok = check_md5_manifest(decoded, manifest)
+            print(f"[RESULT] enc/dec drift check  : "
+                  f"{'identical' if ok else 'MISMATCH'}")
         if args.output:
             with YuvWriter(args.output) as wr:
                 for i in sorted(decoded):

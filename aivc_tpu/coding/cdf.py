@@ -141,6 +141,16 @@ def binned_sigma_jnp(sigma):
     return centers[sigma_to_bin_jnp(sigma)]
 
 
+def expected_bits(symbols: np.ndarray, row_idx: np.ndarray,
+                  cdf_rows: np.ndarray) -> float:
+    """Exact expected codelength of symbols under the quantized coded
+    distribution — the analytic side of the estimated-vs-real rate
+    cross-check (reference: src/real_life/bitstream.py:307-329)."""
+    freq = np.diff(cdf_rows.astype(np.int64), axis=1)
+    f = freq[row_idx.reshape(-1), symbols.reshape(-1).astype(np.int64)]
+    return float(np.sum(-np.log2(f / float(PROB_SCALE))))
+
+
 # ---------------------------------------------------------------------------
 # z table from a FactorizedPrior
 # ---------------------------------------------------------------------------
@@ -152,11 +162,14 @@ def build_z_table(prior_module, prior_params) -> np.ndarray:
     (the analogue of the reference's _precompute_z_cdf,
     bitstream.py:82-125) and quantizes deterministically on host.
     """
+    import jax
     import jax.numpy as jnp
 
     C = prior_module.nb_channel
     edges = jnp.asarray(
         np.tile(symbol_edges()[None, :], (C, 1)), dtype=jnp.float32
     )
-    vals = prior_module.apply(prior_params, edges, method=prior_module.cdf)
+    fn = jax.jit(
+        lambda p, e: prior_module.apply(p, e, method=prior_module.cdf))
+    vals = fn(prior_params, edges)
     return cdf_rows_from_edge_values(np.asarray(vals, dtype=np.float64))

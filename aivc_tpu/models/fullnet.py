@@ -140,7 +140,9 @@ class FullNet(nn.Module):
         pred = alpha * x_warp
         skip = (1.0 - alpha) * x_warp
         return {"alpha": alpha, "beta": beta, "x_warp": x_warp,
-                "pred": pred, "skip": skip}
+                "pred": pred, "skip": skip,
+                "alpha_mean": jnp.mean(alpha, axis=(1, 2, 3)),
+                "beta_mean": jnp.mean(beta, axis=(1, 2, 3))}
 
     def codecnet_synth(self, y_cq, mu, pred, skip, idx_rate, frame_type: int):
         shortcut = pred if frame_type != FRAME_I else None

@@ -67,5 +67,9 @@ def init_fullnet(cfg: ModelConfig, rng: jax.Array | None = None,
         rng = jax.random.PRNGKey(0)
     model = FullNet(cfg)
     x = jnp.zeros((1, spatial, spatial, 3), jnp.float32)
-    params = model.init(rng, x, x, x, method=FullNet.init_all)
+    # init under jit: eager tracing would dispatch hundreds of individual
+    # ops, which is pathological on remote-TPU backends.
+    init_fn = jax.jit(
+        lambda r: model.init(r, x, x, x, method=FullNet.init_all))
+    params = init_fn(rng)
     return model, params

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, Optional, Tuple
+from typing import Dict, NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -61,12 +61,68 @@ def pad_to_multiple(x: np.ndarray, mult: int) -> np.ndarray:
     return x
 
 
+class _BatchPlanes:
+    """Batched device planes of one coded wave, pulled to host lazily and
+    only once for all frames of the wave."""
+
+    __slots__ = ("_dev", "_host")
+
+    def __init__(self, planes_dev):
+        self._dev = planes_dev
+        self._host = None
+
+    def host(self) -> Dict[str, np.ndarray]:
+        if self._host is None:
+            self._host = {k: np.asarray(v) for k, v in self._dev.items()}
+            self._dev = None
+        return self._host
+
+
+class DecodedFrame:
+    """A decoded frame.
+
+    Holds the padded 444 device reference tensor (reused by dependent
+    frames) and a handle into its wave's batched planes.  The host copy is
+    fetched lazily on first access, so the coding loop never blocks on a
+    frame's synthesis just to archive its pixels — host range coding of
+    later frames overlaps device compute (async dispatch).
+    """
+
+    __slots__ = ("_batch", "_i", "ref")
+
+    def __init__(self, batch: _BatchPlanes, i: int, ref: jax.Array):
+        self._batch = batch
+        self._i = i
+        self.ref = ref
+
+    @property
+    def planes(self) -> Dict[str, np.ndarray]:
+        h = self._batch.host()
+        return {k: h[k][self._i, :, :, 0] for k in ("y", "u", "v")}
+
+    def __getitem__(self, k: str) -> np.ndarray:
+        return self.planes[k]
+
+    @classmethod
+    def from_host(cls, planes: Dict[str, np.ndarray],
+                  ref: Optional[jax.Array] = None) -> "DecodedFrame":
+        """Build from already-materialized host planes ([H, W] uint8)."""
+        batch = _BatchPlanes({k: v[None, :, :, None] for k, v in planes.items()})
+        batch._host = batch._dev
+        batch._dev = None
+        return cls(batch, 0, ref)
+
+
 class FrameCodec:
     """Per-resolution compiled codec around a FullNet parameter tree."""
 
-    def __init__(self, cfg: ModelConfig, params, height: int, width: int):
+    def __init__(self, cfg: ModelConfig, params, height: int, width: int,
+                 debug: bool = False):
         self.cfg = cfg
         self.params = params
+        # Debug mode: per-chunk lossless self-check + estimated-vs-real
+        # rate report (reference: bitstream.py:307-350).
+        self.debug = debug
         self.h, self.w = height, width
         self.hp = math.ceil(height / PAD_MULTIPLE) * PAD_MULTIPLE
         self.wp = math.ceil(width / PAD_MULTIPLE) * PAD_MULTIPLE
@@ -102,10 +158,29 @@ class FrameCodec:
         def to444(y, u, v):
             return yuv420_to_444(y, u, v)
 
+        def _pad_dev(x, mult):
+            ph = (-x.shape[1]) % mult
+            pw = (-x.shape[2]) % mult
+            if ph or pw:
+                x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
+            return x
+
+        @jax.jit
+        def planes_to_ref(y_u8, u_u8, v_u8):
+            """uint8 true-size planes -> padded float 444 reference.
+            Shared by encoder and decoder so reference tensors are
+            bit-identical on both sides."""
+            y = _pad_dev(y_u8.astype(jnp.float32) / 255.0, PAD_MULTIPLE)
+            u = _pad_dev(u_u8.astype(jnp.float32) / 255.0, PAD_MULTIPLE // 2)
+            v = _pad_dev(v_u8.astype(jnp.float32) / 255.0, PAD_MULTIPLE // 2)
+            return yuv420_to_444(y, u, v)
+
         @jax.jit
         def cast_yuv(x444):
             """Crop to true size, 444->420, quantize to 256 levels
-            (reference cast_before_png_saving, img_processing.py:31-75)."""
+            (reference cast_before_png_saving, img_processing.py:31-75),
+            and rebuild the padded 444 reference from the quantized planes
+            so future frames predict from exactly what the decoder has."""
             yf, uf, vf = x444_to_yuv420(x444)
             yf = yf[:, : self.h, : self.w, :]
             uf = uf[:, : self.h_uv, : self.w_uv, :]
@@ -114,7 +189,8 @@ class FrameCodec:
             for k, p in (("y", yf), ("u", uf), ("v", vf)):
                 out[k] = jnp.clip(jnp.round(jnp.clip(p, 0.0, 1.0) * 255.0),
                                   0, 255).astype(jnp.uint8)
-            return out
+            ref444 = planes_to_ref(out["y"], out["u"], out["v"])
+            return out, ref444
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def mof_analyze(params, frame, prev, nxt, idx_rate, ftype):
@@ -129,17 +205,18 @@ class FrameCodec:
         @jax.jit
         def mof_hyper(params, z_q):
             mu, sigma = model.apply(params, z_q, method=FullNet.mofnet_hyper)
-            return mu, sigma_to_bin_jnp(sigma)
+            return mu, sigma_to_bin_jnp(sigma).astype(jnp.uint8)
 
         @jax.jit
         def cod_hyper(params, z_q):
             mu, sigma = model.apply(params, z_q, method=FullNet.codecnet_hyper)
-            return mu, sigma_to_bin_jnp(sigma)
+            return mu, sigma_to_bin_jnp(sigma).astype(jnp.uint8)
 
         @jax.jit
         def y_quant(y, mu):
+            # int16 halves the device->host transfer (values fit [-256, 255])
             return jnp.clip(jnp.round(y - mu),
-                            -AC_MAX_VAL, AC_MAX_VAL - 1).astype(jnp.int32)
+                            -AC_MAX_VAL, AC_MAX_VAL - 1).astype(jnp.int16)
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
@@ -154,6 +231,7 @@ class FrameCodec:
                                method=FullNet.codecnet_synth)
 
         self._to444 = to444
+        self._planes_to_ref = planes_to_ref
         self._cast_yuv = cast_yuv
         self._mof_analyze = mof_analyze
         self._cod_analyze = cod_analyze
@@ -170,90 +248,190 @@ class FrameCodec:
         """uint8 YUV420 planes (true size) -> padded float 444 on device.
         None -> the all-zero dummy reference (reference: decode.py:256-270)."""
         if frame_u8 is None:
-            y = np.zeros((1, self.hp, self.wp, 1), np.float32)
-            u = np.zeros((1, self.hp // 2, self.wp // 2, 1), np.float32)
-            return self._to444(jnp.asarray(y), jnp.asarray(u), jnp.asarray(u))
-        y = (frame_u8["y"].astype(np.float32) / 255.0)[None, :, :, None]
-        u = (frame_u8["u"].astype(np.float32) / 255.0)[None, :, :, None]
-        v = (frame_u8["v"].astype(np.float32) / 255.0)[None, :, :, None]
-        y = pad_to_multiple(y, PAD_MULTIPLE)
-        u = pad_to_multiple(u, PAD_MULTIPLE // 2)
-        v = pad_to_multiple(v, PAD_MULTIPLE // 2)
-        return self._to444(jnp.asarray(y), jnp.asarray(u), jnp.asarray(v))
+            return self._zero_ref()
+        y = jnp.asarray(frame_u8["y"][None, :, :, None])
+        u = jnp.asarray(frame_u8["u"][None, :, :, None])
+        v = jnp.asarray(frame_u8["v"][None, :, :, None])
+        return self._planes_to_ref(y, u, v)
+
+    def _zero_ref(self) -> jax.Array:
+        if not hasattr(self, "_zero_ref_cache"):
+            self._zero_ref_cache = jnp.zeros(
+                (1, self.hp, self.wp, 3), jnp.float32)
+        return self._zero_ref_cache
 
     @staticmethod
     def _to_host_u8(planes: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
         return {k: np.asarray(v)[0, :, :, 0] for k, v in planes.items()}
 
     # ------------------------------------------------------------------
+    # Chunk coding with optional debug self-verification
+    # ------------------------------------------------------------------
+    def _encode_z(self, which: str, z_np: np.ndarray, label: str) -> bytes:
+        chunk = bs.encode_z_chunk(z_np, self.z_rows[which])
+        if self.debug:
+            from aivc_tpu.coding.cdf import expected_bits
+
+            H, W, C = z_np.shape
+            rows = np.broadcast_to(np.arange(C, dtype=np.int32), (H, W, C))
+            est = expected_bits((z_np + AC_MAX_VAL).astype(np.int64),
+                                rows, self.z_rows[which]) / 8.0
+            back = bs.decode_z_chunk(chunk, z_np.shape, self.z_rows[which])
+            lossless = np.array_equal(back, z_np)
+            print(f"[AC] {label}: {len(chunk)}B real, {est:.1f}B analytic, "
+                  f"overhead {100 * (len(chunk) / max(est, 1e-9) - 1):.2f}%, "
+                  f"{'lossless Ok!' if lossless else 'NOT LOSSLESS Ko!'}")
+            if not lossless:
+                raise AssertionError(f"entropy coding not lossless: {label}")
+        return chunk
+
+    def _encode_y(self, y_np: np.ndarray, bins_np: np.ndarray,
+                  label: str) -> bytes:
+        chunk = bs.encode_y_chunk(y_np, bins_np, self.laplace_rows)
+        if self.debug:
+            from aivc_tpu.coding.cdf import expected_bits
+
+            nz = np.where(np.abs(y_np).sum(axis=(0, 1)) != 0)[0]
+            est = (expected_bits(
+                (y_np[:, :, nz] + AC_MAX_VAL).astype(np.int64),
+                bins_np[:, :, nz], self.laplace_rows) / 8.0
+                if len(nz) else 0.0)
+            back = bs.decode_y_chunk(chunk, y_np.shape, bins_np,
+                                     self.laplace_rows)
+            lossless = np.array_equal(back, y_np)
+            print(f"[AC] {label}: {len(chunk)}B real, {est:.1f}B analytic, "
+                  f"{len(nz)}/{y_np.shape[2]} ft maps, "
+                  f"{'lossless Ok!' if lossless else 'NOT LOSSLESS Ko!'}")
+            if not lossless:
+                raise AssertionError(f"entropy coding not lossless: {label}")
+        return chunk
+
+    # ------------------------------------------------------------------
     # Frame encode / decode
     # ------------------------------------------------------------------
-    def encode_frame(self, frame_u8: Dict[str, np.ndarray],
-                     prev_u8: Optional[Dict[str, np.ndarray]],
-                     next_u8: Optional[Dict[str, np.ndarray]],
-                     frame_type: int, idx_rate: float
-                     ) -> Tuple[bytes, Dict[str, np.ndarray], Dict]:
-        """-> (frame bitstream bytes, decoded YUV420 uint8 planes, stats)."""
+    def _stack_refs(self, refs) -> jax.Array:
+        """List of (device [1,Hp,Wp,3] ref | None) -> [k,Hp,Wp,3] batch."""
+        arrs = [r if r is not None else self._zero_ref() for r in refs]
+        return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, axis=0)
+
+    def _split_decoded(self, planes_dev, ref444, k: int):
+        batch = _BatchPlanes(planes_dev)
+        if k == 1:
+            return [DecodedFrame(batch, 0, ref444)]
+        return [DecodedFrame(batch, i, ref444[i:i + 1]) for i in range(k)]
+
+    def encode_frames_batch(self, frames_u8, prev_refs, next_refs,
+                            frame_type: int, idx_rate: float):
+        """Code k same-type frames as one device batch (a temporal wave).
+
+        frames_u8: list of uint8 plane dicts; prev_refs/next_refs: lists of
+        device-side padded 444 references (None -> zero dummy).  Per-frame
+        bitstreams stay independent — batching changes throughput, not the
+        format.  Returns (list[bytes], list[DecodedFrame], list[stats]).
+        """
+        k = len(frames_u8)
         p = self.params
-        frame = self.ref_to_444(frame_u8)
-        prev = self.ref_to_444(prev_u8)
-        nxt = self.ref_to_444(next_u8)
+        frame = jnp.concatenate([self.ref_to_444(f) for f in frames_u8], axis=0) \
+            if k > 1 else self.ref_to_444(frames_u8[0])
+        prev = self._stack_refs(prev_refs)
+        nxt = self._stack_refs(next_refs)
         rate = jnp.float32(idx_rate)
 
-        chunks: Dict[str, bytes] = {}
-        stats: Dict = {}
+        per_frame_chunks = [dict() for _ in range(k)]
+        stats = [dict() for _ in range(k)]
 
+        # Launch the frame's ENTIRE device DAG first — the encoder never
+        # needs host results to continue device work — then do host-side
+        # range coding while the device runs ahead (async dispatch).
         if frame_type == FRAME_I:
             pred = jnp.zeros_like(frame)
             skip = jnp.zeros_like(frame)
-            stats["alpha_mean"] = 1.0
-            stats["beta_mean"] = 1.0
+            mof = None
+            z_qm = y_cqm = None
         else:
-            y_m, z_qm = self._mof_analyze(p, frame, prev, nxt, rate, ftype=frame_type)
+            y_m, z_qm = self._mof_analyze(p, frame, prev, nxt, rate,
+                                          ftype=frame_type)
             mu_m, bins_m = self._mof_hyper(p, z_qm)
             y_cqm = self._y_quant(y_m, mu_m)
-
-            z_np = np.asarray(z_qm, np.int32)[0]
-            chunks["mofnet_z"] = bs.encode_z_chunk(z_np, self.z_rows["mofnet"])
-            chunks["mofnet_y"] = bs.encode_y_chunk(
-                np.asarray(y_cqm)[0], np.asarray(bins_m)[0], self.laplace_rows)
-
             mof = self._mof_synth(p, y_cqm, mu_m, prev, nxt, rate,
                                   ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
-            stats["alpha_mean"] = float(jnp.mean(mof["alpha"]))
-            stats["beta_mean"] = float(jnp.mean(mof["beta"]))
 
         y_c, z_qc = self._cod_analyze(p, frame, pred, rate, ftype=frame_type)
         mu_c, bins_c = self._cod_hyper(p, z_qc)
         y_cqc = self._y_quant(y_c, mu_c)
-
-        chunks["codecnet_z"] = bs.encode_z_chunk(
-            np.asarray(z_qc, np.int32)[0], self.z_rows["codecnet"])
-        chunks["codecnet_y"] = bs.encode_y_chunk(
-            np.asarray(y_cqc)[0], np.asarray(bins_c)[0], self.laplace_rows)
-
         x_hat = self._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
                                 ftype=frame_type)
-        decoded = self._to_host_u8(self._cast_yuv(x_hat))
+        planes_dev, ref444 = self._cast_yuv(x_hat)
 
-        frame_bytes = bs.pack_frame(chunks)
-        stats["bytes"] = len(frame_bytes)
-        stats["mode_bytes"] = len(chunks.get("mofnet_z", b"")) + len(
-            chunks.get("mofnet_y", b""))
-        stats["codec_bytes"] = len(chunks["codecnet_z"]) + len(chunks["codecnet_y"])
+        # Host side: pull integers and range-code while the device finishes
+        # the synthesis/cast of this frame (and the next wave can overlap).
+        if frame_type == FRAME_I:
+            for s in stats:
+                s["alpha_mean"] = 1.0
+                s["beta_mean"] = 1.0
+        else:
+            z_np = np.asarray(z_qm, np.int32)
+            y_np = np.asarray(y_cqm)
+            b_np = np.asarray(bins_m)
+            for i in range(k):
+                per_frame_chunks[i]["mofnet_z"] = self._encode_z(
+                    "mofnet", z_np[i], f"mofnet_z[{i}]")
+                per_frame_chunks[i]["mofnet_y"] = self._encode_y(
+                    y_np[i], b_np[i], f"mofnet_y[{i}]")
+            a_means = np.asarray(mof["alpha_mean"])
+            b_means = np.asarray(mof["beta_mean"])
+            for i in range(k):
+                stats[i]["alpha_mean"] = float(a_means[i])
+                stats[i]["beta_mean"] = float(b_means[i])
+
+        z_np = np.asarray(z_qc, np.int32)
+        y_np = np.asarray(y_cqc)
+        b_np = np.asarray(bins_c)
+        for i in range(k):
+            per_frame_chunks[i]["codecnet_z"] = self._encode_z(
+                "codecnet", z_np[i], f"codecnet_z[{i}]")
+            per_frame_chunks[i]["codecnet_y"] = self._encode_y(
+                y_np[i], b_np[i], f"codecnet_y[{i}]")
+
+        decoded = self._split_decoded(planes_dev, ref444, k)
+
+        frame_bytes = []
+        for i in range(k):
+            fb = bs.pack_frame(per_frame_chunks[i])
+            frame_bytes.append(fb)
+            c = per_frame_chunks[i]
+            stats[i]["bytes"] = len(fb)
+            stats[i]["mode_bytes"] = len(c.get("mofnet_z", b"")) + len(
+                c.get("mofnet_y", b""))
+            stats[i]["codec_bytes"] = len(c["codecnet_z"]) + len(c["codecnet_y"])
         return frame_bytes, decoded, stats
 
-    def decode_frame(self, frame_bytes: bytes,
-                     prev_u8: Optional[Dict[str, np.ndarray]],
-                     next_u8: Optional[Dict[str, np.ndarray]],
-                     frame_type: int, idx_rate: float) -> Dict[str, np.ndarray]:
-        """Closed-loop decode: everything comes from the bitstream + refs."""
+    def encode_frame(self, frame_u8: Dict[str, np.ndarray],
+                     prev_ref: Optional[jax.Array],
+                     next_ref: Optional[jax.Array],
+                     frame_type: int, idx_rate: float
+                     ) -> Tuple[bytes, "DecodedFrame", Dict]:
+        """Single-frame convenience wrapper over encode_frames_batch."""
+        fbs, decs, stats = self.encode_frames_batch(
+            [frame_u8], [prev_ref], [next_ref], frame_type, idx_rate)
+        return fbs[0], decs[0], stats[0]
+
+    def decode_frames_batch(self, frame_bytes_list, prev_refs, next_refs,
+                            frame_type: int, idx_rate: float):
+        """Decode k same-type frames as one device batch.
+
+        MUST be called with the same grouping the encoder used: XLA may
+        round floats differently per batch size, so the wave grouping is
+        part of the enc/dec determinism contract (both sides derive it
+        from the GOP structure alone).
+        """
+        k = len(frame_bytes_list)
         p = self.params
-        prev = self.ref_to_444(prev_u8)
-        nxt = self.ref_to_444(next_u8)
+        prev = self._stack_refs(prev_refs)
+        nxt = self._stack_refs(next_refs)
         rate = jnp.float32(idx_rate)
-        chunks = bs.unpack_frame(frame_bytes)
+        chunks = [bs.unpack_frame(fb) for fb in frame_bytes_list]
 
         zshape_m = (self.hz, self.wz, self.cfg.mofnet.nb_ft_z)
         zshape_c = (self.hz, self.wz, self.cfg.codecnet.nb_ft_z)
@@ -261,27 +439,43 @@ class FrameCodec:
         yshape_c = (self.hy, self.wy, self.cfg.codecnet.nb_ft_y)
 
         if frame_type == FRAME_I:
-            pred = jnp.zeros((1, self.hp, self.wp, 3), jnp.float32)
+            pred = jnp.zeros((k, self.hp, self.wp, 3), jnp.float32)
             skip = jnp.zeros_like(pred)
         else:
-            z_qm = bs.decode_z_chunk(chunks["mofnet_z"], zshape_m,
-                                     self.z_rows["mofnet"])
-            z_qm_dev = jnp.asarray(z_qm, jnp.float32)[None]
-            mu_m, bins_m = self._mof_hyper(p, z_qm_dev)
-            y_cqm = bs.decode_y_chunk(chunks["mofnet_y"], yshape_m,
-                                      np.asarray(bins_m)[0], self.laplace_rows)
-            mof = self._mof_synth(p, jnp.asarray(y_cqm)[None], mu_m, prev,
-                                  nxt, rate, ftype=frame_type)
+            z_qm = np.stack([
+                bs.decode_z_chunk(c["mofnet_z"], zshape_m, self.z_rows["mofnet"])
+                for c in chunks])
+            mu_m, bins_m = self._mof_hyper(p, jnp.asarray(z_qm, jnp.float32))
+            bins_np = np.asarray(bins_m)
+            y_cqm = np.stack([
+                bs.decode_y_chunk(c["mofnet_y"], yshape_m, bins_np[i],
+                                  self.laplace_rows)
+                for i, c in enumerate(chunks)])
+            mof = self._mof_synth(p, jnp.asarray(y_cqm), mu_m, prev, nxt,
+                                  rate, ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
 
-        z_qc = bs.decode_z_chunk(chunks["codecnet_z"], zshape_c,
-                                 self.z_rows["codecnet"])
-        mu_c, bins_c = self._cod_hyper(p, jnp.asarray(z_qc, jnp.float32)[None])
-        y_cqc = bs.decode_y_chunk(chunks["codecnet_y"], yshape_c,
-                                  np.asarray(bins_c)[0], self.laplace_rows)
-        x_hat = self._cod_synth(p, jnp.asarray(y_cqc)[None], mu_c, pred, skip,
+        z_qc = np.stack([
+            bs.decode_z_chunk(c["codecnet_z"], zshape_c, self.z_rows["codecnet"])
+            for c in chunks])
+        mu_c, bins_c = self._cod_hyper(p, jnp.asarray(z_qc, jnp.float32))
+        bins_np = np.asarray(bins_c)
+        y_cqc = np.stack([
+            bs.decode_y_chunk(c["codecnet_y"], yshape_c, bins_np[i],
+                              self.laplace_rows)
+            for i, c in enumerate(chunks)])
+        x_hat = self._cod_synth(p, jnp.asarray(y_cqc), mu_c, pred, skip,
                                 rate, ftype=frame_type)
-        return self._to_host_u8(self._cast_yuv(x_hat))
+        planes_dev, ref444 = self._cast_yuv(x_hat)
+        return self._split_decoded(planes_dev, ref444, k)
+
+    def decode_frame(self, frame_bytes: bytes,
+                     prev_ref: Optional[jax.Array],
+                     next_ref: Optional[jax.Array],
+                     frame_type: int, idx_rate: float) -> "DecodedFrame":
+        """Single-frame convenience wrapper over decode_frames_batch."""
+        return self.decode_frames_batch(
+            [frame_bytes], [prev_ref], [next_ref], frame_type, idx_rate)[0]
 
     # ------------------------------------------------------------------
     def video_header(self, nb_gop: int, idx_first: int, idx_last: int

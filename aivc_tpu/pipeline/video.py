@@ -21,7 +21,7 @@ import numpy as np
 from aivc_tpu.coding import bitstream as bs
 from aivc_tpu.config import FRAME_B, FRAME_I, FRAME_P, CodingConfig
 from aivc_tpu.gop import GopStruct, generate_gop_struct
-from aivc_tpu.pipeline.codec import FrameCodec
+from aivc_tpu.pipeline.codec import DecodedFrame, FrameCodec
 
 
 @dataclass
@@ -40,7 +40,7 @@ class FrameResult:
 class EncodeResult:
     bitstream: bytes
     frame_results: List[FrameResult]
-    decoded_frames: Dict[int, Dict[str, np.ndarray]]
+    decoded_frames: Dict[int, DecodedFrame]
     fps: float
 
     @property
@@ -48,45 +48,75 @@ class EncodeResult:
         return len(self.bitstream)
 
 
-def _ref_planes(decoded: Dict[int, Dict[str, np.ndarray]],
-                idx: Optional[int]):
-    return None if idx is None else decoded[idx]
+def _ref(decoded: Dict[int, "DecodedFrame"], idx: Optional[int]):
+    """Device-side 444 reference of an already-decoded frame (or None)."""
+    return None if idx is None else decoded[idx].ref
+
+
+def wave_groups(gop: GopStruct, max_batch: int):
+    """Deterministic batched schedule: wave -> split by frame type ->
+    chunks of at most max_batch, coding order preserved inside a group.
+
+    Both encoder and decoder derive this grouping from the GOP structure
+    alone — it is part of the bit-exactness contract, since XLA may round
+    floats differently per batch size.
+    """
+    groups = []
+    for wave in gop.waves():
+        by_type: Dict[int, list] = {}
+        for f in sorted(wave, key=lambda f: f.coding_order):
+            by_type.setdefault(f.frame_type, []).append(f)
+        for ftype in sorted(by_type):
+            specs = by_type[ftype]
+            for i in range(0, len(specs), max_batch):
+                groups.append((ftype, specs[i:i + max_batch]))
+    return groups
 
 
 def encode_gop(codec: FrameCodec, gop: GopStruct,
                frames_u8: Sequence[Dict[str, np.ndarray]],
                idx_rate: float, first_idx: int,
-               results: List[FrameResult]) -> (bytes, Dict[int, Dict]):
+               results: List[FrameResult], wave_batch: int = 1):
     """Encode one GOP (frames given in display order for this GOP).
 
+    wave_batch > 1 codes whole temporal waves as device batches — the
+    parallelism the reference leaves on the table ("no parallel coding of
+    frame at the same temporal layer", reference: decode.py:119-121).
     Returns (packed GOP bytes, decoded frames by absolute index).
     """
-    decoded: Dict[int, Dict[str, np.ndarray]] = {}
-    frame_bytes_in_order: List[bytes] = []
+    decoded: Dict[int, DecodedFrame] = {}
+    frame_bytes_by_order: Dict[int, bytes] = {}
     n_pix = codec.h * codec.w
 
-    for spec in gop.coding_order:
-        frame_u8 = frames_u8[spec.idx]
-        prev = _ref_planes(decoded, spec.prev_ref)
-        nxt = _ref_planes(decoded, spec.next_ref)
-        fb, dec, st = codec.encode_frame(
-            frame_u8, prev, nxt, spec.frame_type, idx_rate)
-        decoded[spec.idx] = dec
-        frame_bytes_in_order.append(fb)
-        results.append(FrameResult(
-            idx=first_idx + spec.idx, frame_type=spec.frame_type,
-            bytes=st["bytes"], mode_bytes=st["mode_bytes"],
-            codec_bytes=st["codec_bytes"], alpha_mean=st["alpha_mean"],
-            beta_mean=st["beta_mean"], bpp=st["bytes"] * 8.0 / n_pix))
+    for ftype, specs in wave_groups(gop, max(1, wave_batch)):
+        fbs, decs, stats = codec.encode_frames_batch(
+            [frames_u8[s.idx] for s in specs],
+            [_ref(decoded, s.prev_ref) for s in specs],
+            [_ref(decoded, s.next_ref) for s in specs],
+            ftype, idx_rate)
+        for spec, fb, dec, st in zip(specs, fbs, decs, stats):
+            decoded[spec.idx] = dec
+            frame_bytes_by_order[spec.coding_order] = fb
+            results.append(FrameResult(
+                idx=first_idx + spec.idx, frame_type=spec.frame_type,
+                bytes=st["bytes"], mode_bytes=st["mode_bytes"],
+                codec_bytes=st["codec_bytes"], alpha_mean=st["alpha_mean"],
+                beta_mean=st["beta_mean"], bpp=st["bytes"] * 8.0 / n_pix))
 
+    frame_bytes_in_order = [frame_bytes_by_order[o]
+                            for o in sorted(frame_bytes_by_order)]
     header = bs.GopHeader(gop_struct_name=gop.name, idx_rate=idx_rate)
     return bs.pack_gop(header, frame_bytes_in_order), {
         first_idx + k: v for k, v in decoded.items()}
 
 
 def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
-                 coding: CodingConfig, verbose: bool = False) -> EncodeResult:
-    """Encode a full sequence of uint8 YUV420 frames into one bitstream."""
+                 coding: CodingConfig, verbose: bool = False,
+                 wave_batch: int = 1) -> EncodeResult:
+    """Encode a full sequence of uint8 YUV420 frames into one bitstream.
+
+    wave_batch: decode_video must be called with the same value (wave
+    batching is part of the determinism contract, see wave_groups)."""
     name = coding.gop_struct_name()
     gop = generate_gop_struct(name)
     gop_len = len(gop)
@@ -99,7 +129,7 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
     t0 = time.time()
     results: List[FrameResult] = []
     gop_chunks: List[bytes] = []
-    all_decoded: Dict[int, Dict[str, np.ndarray]] = {}
+    all_decoded: Dict[int, DecodedFrame] = {}
 
     for g in range(nb_gop):
         start = g * gop_len
@@ -109,7 +139,8 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
             # (reference: img_processing.py:155-174)
             gop_frames.append(frames[min(start + i, n_frames - 1)])
         gop_bytes, decoded = encode_gop(
-            codec, gop, gop_frames, coding.idx_rate, start, results)
+            codec, gop, gop_frames, coding.idx_rate, start, results,
+            wave_batch=wave_batch)
         gop_chunks.append(gop_bytes)
         all_decoded.update({k: v for k, v in decoded.items() if k <= idx_last})
 
@@ -121,23 +152,29 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
         fps=n_frames / elapsed)
 
 
-def decode_video(codec: FrameCodec, data: bytes
-                 ) -> Dict[int, Dict[str, np.ndarray]]:
+def decode_video(codec: FrameCodec, data: bytes,
+                 wave_batch: int = 1) -> Dict[int, DecodedFrame]:
     """Decode a muxed bitstream. Only the bitstream and the model are used
-    (the closed-loop property, reference: decode.py:44-155)."""
+    (the closed-loop property, reference: decode.py:44-155).
+    wave_batch must match the encoder's (see wave_groups)."""
     header, gop_chunks = bs.unpack_video(data)
-    decoded_all: Dict[int, Dict[str, np.ndarray]] = {}
+    decoded_all: Dict[int, DecodedFrame] = {}
     first_idx = header.idx_first_frame
 
     for gop_bytes in gop_chunks:
         gop_header, frame_chunks = bs.unpack_gop(gop_bytes)
         gop = generate_gop_struct(gop_header.gop_struct_name)
-        decoded: Dict[int, Dict[str, np.ndarray]] = {}
-        for spec, fb in zip(gop.coding_order, frame_chunks):
-            prev = _ref_planes(decoded, spec.prev_ref)
-            nxt = _ref_planes(decoded, spec.next_ref)
-            decoded[spec.idx] = codec.decode_frame(
-                fb, prev, nxt, spec.frame_type, gop_header.idx_rate)
+        by_order = {spec.coding_order: fb
+                    for spec, fb in zip(gop.coding_order, frame_chunks)}
+        decoded: Dict[int, "DecodedFrame"] = {}
+        for ftype, specs in wave_groups(gop, max(1, wave_batch)):
+            decs = codec.decode_frames_batch(
+                [by_order[s.coding_order] for s in specs],
+                [_ref(decoded, s.prev_ref) for s in specs],
+                [_ref(decoded, s.next_ref) for s in specs],
+                ftype, gop_header.idx_rate)
+            for spec, dec in zip(specs, decs):
+                decoded[spec.idx] = dec
         decoded_all.update({first_idx + k: v for k, v in decoded.items()})
         first_idx += len(gop)
 
@@ -148,7 +185,7 @@ def decode_video(codec: FrameCodec, data: bytes
 
 
 def evaluate_frames(orig: Sequence[Dict[str, np.ndarray]],
-                    decoded: Dict[int, Dict[str, np.ndarray]]) -> Dict[str, float]:
+                    decoded: Dict[int, DecodedFrame]) -> Dict[str, float]:
     """PSNR / MS-SSIM between original and decoded uint8 YUV420 frames,
     pixel-count weighted over planes (reference: src/evaluate.py:62-78,
     src/clic21/metrics.py:30-55)."""

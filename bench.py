@@ -59,6 +59,7 @@ def main():
     w = int(os.environ.get("BENCH_W", "1920"))
     gop_size = int(os.environ.get("BENCH_GOP", "8"))
     model_name = os.environ.get("BENCH_MODEL", "base")
+    wave_batch = int(os.environ.get("BENCH_WAVES", "1"))
 
     cfg = TINY if model_name == "tiny" else ModelConfig()
     _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
@@ -70,14 +71,14 @@ def main():
                           intra_period=gop_size)
 
     # Warm-up: compile every stage (I/P/B), then measure steady state.
-    res = encode_video(codec, frames, coding)
-    _ = decode_video(codec, res.bitstream)
+    res = encode_video(codec, frames, coding, wave_batch=wave_batch)
+    _ = decode_video(codec, res.bitstream, wave_batch=wave_batch)
 
     t0 = time.time()
-    res = encode_video(codec, frames, coding)
+    res = encode_video(codec, frames, coding, wave_batch=wave_batch)
     t_enc = time.time() - t0
     t0 = time.time()
-    dec = decode_video(codec, res.bitstream)
+    dec = decode_video(codec, res.bitstream, wave_batch=wave_batch)
     t_dec = time.time() - t0
 
     # Sanity: closed loop must hold or the number is meaningless.
