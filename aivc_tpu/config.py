@@ -82,6 +82,10 @@ class ConditionalNetConfig:
     use_attention: bool = True
     # Kernel size of the conv stacks.
     k_size: int = 5
+    # Compute dtype of the conv transforms ('float32' or 'bfloat16').
+    # Latents, mu/sigma and everything feeding entropy coding stay float32
+    # at the module boundaries regardless.
+    dtype: str = "float32"
 
     @property
     def sigma_cond_c(self) -> int:

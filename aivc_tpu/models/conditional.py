@@ -54,16 +54,25 @@ class AnalysisTransform(nn.Module):
     out_ft: int
     k_size: int = 5
     use_attention: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn")(x)
-        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn")(x)
+        d = self.dtype
+        x = x.astype(d)
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn",
+                      dtype=d)(x)
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn",
+                      dtype=d)(x)
         if self.use_attention:
-            x = SimplifiedAttention(self.nb_ft)(x)
-        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn")(x)
-        x = ConvBlock(self.out_ft, self.k_size, stride=2, non_linearity="no")(x)
-        return x
+            x = SimplifiedAttention(self.nb_ft, dtype=d)(x)
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn",
+                      dtype=d)(x)
+        x = ConvBlock(self.out_ft, self.k_size, stride=2, non_linearity="no",
+                      dtype=d)(x)
+        # Latents leave in float32: quantization, entropy modelling and the
+        # gain scaling all need full precision.
+        return x.astype(jnp.float32)
 
 
 class SynthesisTransform(nn.Module):
@@ -73,40 +82,54 @@ class SynthesisTransform(nn.Module):
     out_ft: int
     k_size: int = 5
     use_attention: bool = True
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
-        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse")(y)
+        d = self.dtype
+        y = y.astype(d)
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse",
+                    dtype=d)(y)
         if self.use_attention:
-            y = SimplifiedAttention(self.nb_ft)(y)
-        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse")(y)
-        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse")(y)
-        y = UpBlock(self.out_ft, self.k_size, non_linearity="no")(y)
-        return y
+            y = SimplifiedAttention(self.nb_ft, dtype=d)(y)
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse",
+                    dtype=d)(y)
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse",
+                    dtype=d)(y)
+        y = UpBlock(self.out_ft, self.k_size, non_linearity="no", dtype=d)(y)
+        return y.astype(jnp.float32)
 
 
 class HyperAnalysis(nn.Module):
     nb_ft: int
     out_ft: int
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
-        y = ConvBlock(self.nb_ft, 3, non_linearity="leaky_relu")(jnp.abs(y))
-        y = ConvBlock(self.nb_ft, 5, stride=2, non_linearity="leaky_relu")(y)
-        y = ConvBlock(self.out_ft, 5, stride=2, non_linearity="no")(y)
-        return y
+        d = self.dtype
+        y = jnp.abs(y).astype(d)
+        y = ConvBlock(self.nb_ft, 3, non_linearity="leaky_relu", dtype=d)(y)
+        y = ConvBlock(self.nb_ft, 5, stride=2, non_linearity="leaky_relu",
+                      dtype=d)(y)
+        y = ConvBlock(self.out_ft, 5, stride=2, non_linearity="no", dtype=d)(y)
+        return y.astype(jnp.float32)
 
 
 class HyperSynthesis(nn.Module):
     nb_ft: int
     out_ft: int  # 2 * nb_ft_y: mu and logvar
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, z: jax.Array) -> jax.Array:
-        z = UpBlock(self.nb_ft, 5, non_linearity="leaky_relu")(z)
-        z = UpBlock(self.nb_ft, 5, non_linearity="leaky_relu")(z)
-        z = ConvBlock(self.out_ft, 3, non_linearity="no")(z)
-        return z
+        d = self.dtype
+        z = z.astype(d)
+        z = UpBlock(self.nb_ft, 5, non_linearity="leaky_relu", dtype=d)(z)
+        z = UpBlock(self.nb_ft, 5, non_linearity="leaky_relu", dtype=d)(z)
+        z = ConvBlock(self.out_ft, 3, non_linearity="no", dtype=d)(z)
+        # mu / log-var in float32: sigma feeds the entropy coder.
+        return z.astype(jnp.float32)
 
 
 class ConditionalNet(nn.Module):
@@ -116,13 +139,17 @@ class ConditionalNet(nn.Module):
 
     def setup(self):
         c = self.cfg
-        self.g_a = AnalysisTransform(c.nb_ft, c.nb_ft_y, c.k_size, c.use_attention)
+        d = c.dtype
+        self.g_a = AnalysisTransform(c.nb_ft, c.nb_ft_y, c.k_size,
+                                     c.use_attention, dtype=d)
         if c.in_c_shortcut > 0:
             self.g_a_ref = AnalysisTransform(
-                c.nb_ft, c.out_c_shortcut_y, c.k_size, use_attention=False)
-        self.g_s = SynthesisTransform(c.nb_ft, c.out_c, c.k_size, c.use_attention)
-        self.h_a = HyperAnalysis(c.nb_ft_z, c.nb_ft_z)
-        self.h_s = HyperSynthesis(c.nb_ft_y, c.sigma_cond_c)
+                c.nb_ft, c.out_c_shortcut_y, c.k_size, use_attention=False,
+                dtype=d)
+        self.g_s = SynthesisTransform(c.nb_ft, c.out_c, c.k_size,
+                                      c.use_attention, dtype=d)
+        self.h_a = HyperAnalysis(c.nb_ft_z, c.nb_ft_z, dtype=d)
+        self.h_s = HyperSynthesis(c.nb_ft_y, c.sigma_cond_c, dtype=d)
         self.pdf_z = FactorizedPrior(c.nb_ft_z)
         self.gain_I = GainMatrix(c.n_rates, c.nb_ft_y)
         if c.gain_p_b:

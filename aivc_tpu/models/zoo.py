@@ -21,6 +21,15 @@ from aivc_tpu.config import ConditionalNetConfig, ModelConfig
 
 BASE = ModelConfig()
 
+# bfloat16 transform variant: conv stacks run on the MXU in bf16, all
+# entropy-coding-relevant tensors stay float32 at module boundaries.
+BASE_BF16 = replace(
+    BASE,
+    name="tpu-aivc-bf16",
+    mofnet=replace(BASE.mofnet, dtype="bfloat16"),
+    codecnet=replace(BASE.codecnet, dtype="bfloat16"),
+)
+
 # Small config for tests / CI: same topology, tiny channel counts.
 TINY = ModelConfig(
     name="tpu-aivc-tiny",
@@ -41,7 +50,17 @@ def _ladder() -> Dict[str, Tuple[ModelConfig, float]]:
         # Index 1 = highest rate = idx_rate 0 (gain_matrix.py:137 semantics)
         zoo[f"tpu-msssim-{i}"] = (BASE, float(i - 1))
     zoo["tpu-aivc-base"] = (BASE, 0.0)
+    zoo["tpu-aivc-bf16"] = (BASE_BF16, 0.0)
     zoo["tpu-aivc-tiny"] = (TINY, 0.0)
+    zoo["tpu-aivc-tiny-bf16"] = (
+        replace(
+            TINY,
+            name="tpu-aivc-tiny-bf16",
+            mofnet=replace(TINY.mofnet, dtype="bfloat16"),
+            codecnet=replace(TINY.codecnet, dtype="bfloat16"),
+        ),
+        0.0,
+    )
     return zoo
 
 

@@ -50,13 +50,15 @@ class ConvBlock(nn.Module):
     k_size: int = 5
     stride: int = 1
     non_linearity: str = "leaky_relu"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = self.k_size // 2
         x = replication_pad(x, pad)
         x = nn.Conv(self.out_ft, (self.k_size, self.k_size),
-                    strides=(self.stride, self.stride), padding="VALID")(x)
+                    strides=(self.stride, self.stride), padding="VALID",
+                    dtype=self.dtype)(x)
         nl = _nonlinearity(self.non_linearity, self.out_ft)
         return nl(x) if nl is not None else x
 
@@ -68,11 +70,13 @@ class UpBlock(nn.Module):
     out_ft: int
     k_size: int = 5
     non_linearity: str = "leaky_relu"
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         x = nn.ConvTranspose(self.out_ft, (self.k_size, self.k_size),
-                             strides=(2, 2), padding="SAME")(x)
+                             strides=(2, 2), padding="SAME",
+                             dtype=self.dtype)(x)
         nl = _nonlinearity(self.non_linearity, self.out_ft)
         return nl(x) if nl is not None else x
 
@@ -83,11 +87,14 @@ class ResBlock(nn.Module):
 
     nb_ft: int
     k_size: int = 3
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        h = ConvBlock(self.nb_ft, self.k_size, non_linearity="relu")(x)
-        h = ConvBlock(self.nb_ft, self.k_size, non_linearity="no")(h)
+        h = ConvBlock(self.nb_ft, self.k_size, non_linearity="relu",
+                      dtype=self.dtype)(x)
+        h = ConvBlock(self.nb_ft, self.k_size, non_linearity="no",
+                      dtype=self.dtype)(h)
         return jax.nn.relu(x + h)
 
 
@@ -124,16 +131,17 @@ class SimplifiedAttention(nn.Module):
 
     nb_ft: int
     k_size: int = 3
+    dtype: str = "float32"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         trunk = x
         for _ in range(3):
-            trunk = ResBlock(self.nb_ft, self.k_size)(trunk)
+            trunk = ResBlock(self.nb_ft, self.k_size, self.dtype)(trunk)
         attn = x
         for _ in range(3):
-            attn = ResBlock(self.nb_ft, self.k_size)(attn)
-        attn = nn.Conv(self.nb_ft, (1, 1))(attn)
+            attn = ResBlock(self.nb_ft, self.k_size, self.dtype)(attn)
+        attn = nn.Conv(self.nb_ft, (1, 1), dtype=self.dtype)(attn)
         attn = jax.nn.sigmoid(attn)
         return trunk * attn + x
 

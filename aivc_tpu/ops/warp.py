@@ -32,7 +32,14 @@ def warp(x: jax.Array, flow: jax.Array) -> jax.Array:
 
     Returns:
       [B, H, W, C] warped image.
+
+    The inputs are fenced with an optimization barrier: when the gather is
+    fused into a large producer graph (e.g. the synthesis transform), XLA's
+    fusion makes it ~3000x slower than the isolated op (measured 280 ms vs
+    0.1 ms for 1088x1920x3 on TPU v5e); the barrier keeps the gather a
+    standalone op at its native speed.
     """
+    x, flow = jax.lax.optimization_barrier((x, flow))
     B, H, W, C = x.shape
     dtype = x.dtype
 

@@ -117,12 +117,22 @@ class FrameCodec:
     """Per-resolution compiled codec around a FullNet parameter tree."""
 
     def __init__(self, cfg: ModelConfig, params, height: int, width: int,
-                 debug: bool = False):
+                 debug: bool = False, mesh=None):
         self.cfg = cfg
-        self.params = params
         # Debug mode: per-chunk lossless self-check + estimated-vs-real
         # rate report (reference: bitstream.py:307-350).
         self.debug = debug
+        # Optional device mesh: frame rows are sharded over the 'spatial'
+        # axis and GSPMD inserts the conv halo exchanges (SURVEY.md §2.5
+        # "intra-frame tile parallelism").  Parameters are replicated.
+        self.mesh = mesh
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self._frame_sharding = NamedSharding(
+                mesh, P(None, "spatial", None, None))
+            params = jax.device_put(params, NamedSharding(mesh, P()))
+        self.params = params
         self.h, self.w = height, width
         self.hp = math.ceil(height / PAD_MULTIPLE) * PAD_MULTIPLE
         self.wp = math.ceil(width / PAD_MULTIPLE) * PAD_MULTIPLE
@@ -252,7 +262,10 @@ class FrameCodec:
         y = jnp.asarray(frame_u8["y"][None, :, :, None])
         u = jnp.asarray(frame_u8["u"][None, :, :, None])
         v = jnp.asarray(frame_u8["v"][None, :, :, None])
-        return self._planes_to_ref(y, u, v)
+        ref = self._planes_to_ref(y, u, v)
+        if self.mesh is not None:
+            ref = jax.device_put(ref, self._frame_sharding)
+        return ref
 
     def _zero_ref(self) -> jax.Array:
         if not hasattr(self, "_zero_ref_cache"):

@@ -51,17 +51,17 @@ def synthetic_frames(n, h, w, seed=0):
 
 def main():
     from aivc_tpu.config import CodingConfig, ModelConfig
-    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.models.zoo import BASE_BF16, TINY, init_fullnet
     from aivc_tpu.pipeline.codec import FrameCodec
     from aivc_tpu.pipeline.video import decode_video, encode_video
 
     h = int(os.environ.get("BENCH_H", "1080"))
     w = int(os.environ.get("BENCH_W", "1920"))
     gop_size = int(os.environ.get("BENCH_GOP", "8"))
-    model_name = os.environ.get("BENCH_MODEL", "base")
-    wave_batch = int(os.environ.get("BENCH_WAVES", "1"))
+    model_name = os.environ.get("BENCH_MODEL", "bf16")
+    wave_batch = int(os.environ.get("BENCH_WAVES", "4"))
 
-    cfg = TINY if model_name == "tiny" else ModelConfig()
+    cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[model_name]
     _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
     codec = FrameCodec(cfg, params, h, w)
 

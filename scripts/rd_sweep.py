@@ -1,0 +1,92 @@
+"""Rate-distortion sweep: encode at every rate index, report RD points.
+
+Covers the BASELINE.md benchmark config "RA GOP32 across all 7 rate
+targets (RD sweep)".  With --input absent, a synthetic clip is used.
+
+Output: one JSON line per rate point {idx_rate, bpp, psnr, ms_ssim, fps}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", default="", help="raw .yuv (name_WxH_fps_420.yuv)")
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--ckpt", default="", help="checkpoint dir (overrides --model)")
+    ap.add_argument("--frames", type=int, default=9)
+    ap.add_argument("--coding_config", default="RA")
+    ap.add_argument("--gop_size", type=int, default=8)
+    ap.add_argument("--intra_period", type=int, default=8)
+    ap.add_argument("--h", type=int, default=240)
+    ap.add_argument("--w", type=int, default=416)
+    ap.add_argument("--rates", default="", help="comma list; default all")
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aivc_tpu.config import CodingConfig, ModelConfig
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import encode_video, evaluate_frames
+    from aivc_tpu.utils.checkpoint import load_checkpoint
+    from bench import synthetic_frames
+
+    if args.ckpt:
+        cfg, params = load_checkpoint(args.ckpt)
+    else:
+        cfg = TINY if args.model == "tiny" else ModelConfig()
+        _, params = init_fullnet(cfg)
+
+    if args.input:
+        from aivc_tpu.io.yuv import YuvReader
+
+        reader = YuvReader(args.input)
+        n = min(args.frames, reader.n_frames)
+        frames = [reader.read_frame(i) for i in range(n)]
+        h, w = reader.height, reader.width
+    else:
+        h, w = args.h, args.w
+        frames = synthetic_frames(args.frames, h, w)
+
+    codec = FrameCodec(cfg, params, h, w)
+    n_rates = len(cfg.lambda_tradeoff)
+    rates = ([float(r) for r in args.rates.split(",")] if args.rates
+             else [float(i) for i in range(n_rates)])
+
+    n_pix = h * w
+    for idx_rate in rates:
+        coding = CodingConfig(
+            coding_config=args.coding_config, gop_size=args.gop_size,
+            intra_period=args.intra_period, idx_rate=idx_rate)
+        res = encode_video(codec, frames, coding)
+        metrics = evaluate_frames(frames, res.decoded_frames)
+        print(json.dumps({
+            "idx_rate": idx_rate,
+            "bpp": round(res.total_bytes * 8 / (n_pix * len(frames)), 5),
+            "bytes": res.total_bytes,
+            "psnr": round(float(metrics["psnr"]), 4),
+            "ms_ssim": round(float(metrics["ms_ssim"]), 5),
+            "ms_ssim_db": round(float(metrics["ms_ssim_db"]), 4),
+            "enc_fps": round(res.fps, 3),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

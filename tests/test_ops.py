@@ -251,3 +251,31 @@ def test_x444_downscale_is_2x2_mean():
     _, u, _ = x444_to_yuv420(x3)
     expect = np.array([[2.5, 4.5], [10.5, 12.5]])
     np.testing.assert_allclose(np.asarray(u)[0, :, :, 0], expect)
+
+
+# ---------------------------------------------------------------------------
+# Metrics: JAX vs independent numpy oracle
+# ---------------------------------------------------------------------------
+
+def test_msssim_matches_numpy_oracle():
+    from aivc_tpu.ops.metrics import msssim
+    from aivc_tpu.ops.metrics_np import msssim_np, psnr_np
+
+    rng = np.random.default_rng(7)
+    a = rng.random((1, 192, 176, 1)).astype(np.float32)
+    # correlated distortion so MS-SSIM is in a meaningful range
+    b = np.clip(a + rng.normal(0, 0.05, a.shape).astype(np.float32), 0, 1)
+    ms_jax = float(msssim(jnp.asarray(a), jnp.asarray(b)))
+    ms_np = msssim_np(a[0, :, :, 0], b[0, :, :, 0])
+    assert abs(ms_jax - ms_np) < 2e-4, (ms_jax, ms_np)
+
+
+def test_psnr_matches_numpy():
+    from aivc_tpu.ops.metrics import psnr
+    from aivc_tpu.ops.metrics_np import psnr_np
+
+    rng = np.random.default_rng(8)
+    a = rng.random((32, 32)).astype(np.float32)
+    b = rng.random((32, 32)).astype(np.float32)
+    mse = np.mean((a - b) ** 2)
+    assert abs(float(psnr(jnp.float32(mse))) - psnr_np(a, b)) < 1e-3

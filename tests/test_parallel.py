@@ -45,3 +45,36 @@ def test_dryrun_multichip_runs():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_codec_matches_unsharded_bit_exact():
+    """Spatially-sharded FrameCodec (GSPMD halo exchange) must produce the
+    same bitstream and frames as the single-device codec."""
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video
+
+    from tests.test_e2e import H, W, _synthetic_frames
+
+    _, params = init_fullnet(TINY, spatial=64)
+    frames = _synthetic_frames(3)
+    cfg = CodingConfig(coding_config="LDP", intra_period=2)
+
+    base = FrameCodec(TINY, params, H, W)
+    res0 = encode_video(base, frames, cfg)
+
+    mesh = make_mesh(8, spatial=2)
+    with mesh:
+        sharded = FrameCodec(TINY, params, H, W, mesh=mesh)
+        res1 = encode_video(sharded, frames, cfg)
+        dec1 = decode_video(sharded, res1.bitstream)
+
+    for idx in res0.decoded_frames:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                res1.decoded_frames[idx][k], res0.decoded_frames[idx][k],
+                err_msg=f"sharded encode drift frame {idx} {k}")
+            np.testing.assert_array_equal(
+                dec1[idx][k], res0.decoded_frames[idx][k],
+                err_msg=f"sharded decode drift frame {idx} {k}")
