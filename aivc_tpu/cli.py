@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--bitstream_debug", action="store_true",
                    help="per-chunk AC lossless self-check, rate overhead "
                         "report, and encoder/decoder md5 drift manifest")
+    p.add_argument("--log_dir", default="",
+                   help="write per-frame results (detailed.txt + .jsonl)")
+    p.add_argument("--wave_batch", type=int, default=1,
+                   help="code temporal waves as device batches of up to N "
+                        "frames (must match between encode and decode)")
     return p
 
 
@@ -107,9 +112,16 @@ def main(argv=None) -> int:
     if args.mode in ("all", "encode"):
         codec = FrameCodec(cfg, params, h, w, debug=args.bitstream_debug)
         t0 = time.time()
-        res = encode_video(codec, frames, coding)
+        res = encode_video(codec, frames, coding, wave_batch=args.wave_batch)
         dt = time.time() - t0
         Path(args.bitstream_out).write_bytes(res.bitstream)
+        if args.log_dir:
+            from aivc_tpu.utils.logging import FrameResultLogger
+
+            logger = FrameResultLogger(args.log_dir)
+            for fr in res.frame_results:
+                logger.log(fr)
+            logger.close()
         if args.bitstream_debug:
             from aivc_tpu.utils.debug import write_md5_manifest
 
@@ -128,7 +140,7 @@ def main(argv=None) -> int:
         header = VideoHeader.unpack(data[:VideoHeader.SIZE])
         codec = FrameCodec(cfg, params, header.h_x, header.w_x)
         t0 = time.time()
-        decoded = decode_video(codec, data)
+        decoded = decode_video(codec, data, wave_batch=args.wave_batch)
         dt = time.time() - t0
         print(f"[RESULT] decoding fps         : {len(decoded) / dt:.2f}")
         manifest = Path(args.bitstream_out + ".md5.json")

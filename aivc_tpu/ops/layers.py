@@ -63,20 +63,43 @@ class ConvBlock(nn.Module):
         return nl(x) if nl is not None else x
 
 
+def depth_to_space2(x: jax.Array) -> jax.Array:
+    """[B, H, W, 4C] -> [B, 2H, 2W, C] pixel shuffle."""
+    B, H, W, C4 = x.shape
+    C = C4 // 4
+    x = x.reshape(B, H, W, 2, 2, C)
+    x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+    return x.reshape(B, 2 * H, 2 * W, C)
+
+
 class UpBlock(nn.Module):
-    """Exact x2 upsampling via stride-2 transposed conv + nonlinearity
-    (reference UpscalingLayer, custom_conv_layers.py:183-253)."""
+    """Exact x2 upsampling + nonlinearity
+    (role of the reference UpscalingLayer, custom_conv_layers.py:183-253).
+
+    mode='shuffle' (default): conv to 4x channels + depth-to-space — the
+    TPU-native choice; stride-2 transposed convs lower to input-dilated
+    convolutions that waste 4x MXU work on inserted zeros.
+    mode='tconv': the reference-style transposed conv.
+    """
 
     out_ft: int
     k_size: int = 5
     non_linearity: str = "leaky_relu"
     dtype: str = "float32"
+    mode: str = "shuffle"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
-        x = nn.ConvTranspose(self.out_ft, (self.k_size, self.k_size),
-                             strides=(2, 2), padding="SAME",
-                             dtype=self.dtype)(x)
+        if self.mode == "shuffle":
+            pad = self.k_size // 2
+            x = replication_pad(x, pad)
+            x = nn.Conv(4 * self.out_ft, (self.k_size, self.k_size),
+                        padding="VALID", dtype=self.dtype)(x)
+            x = depth_to_space2(x)
+        else:
+            x = nn.ConvTranspose(self.out_ft, (self.k_size, self.k_size),
+                                 strides=(2, 2), padding="SAME",
+                                 dtype=self.dtype)(x)
         nl = _nonlinearity(self.non_linearity, self.out_ft)
         return nl(x) if nl is not None else x
 

@@ -175,18 +175,13 @@ class FrameCodec:
                 x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)), mode="edge")
             return x
 
-        @jax.jit
-        def planes_to_ref(y_u8, u_u8, v_u8):
-            """uint8 true-size planes -> padded float 444 reference.
-            Shared by encoder and decoder so reference tensors are
-            bit-identical on both sides."""
+        def _pad_ref_from_planes(y_u8, u_u8, v_u8):
             y = _pad_dev(y_u8.astype(jnp.float32) / 255.0, PAD_MULTIPLE)
             u = _pad_dev(u_u8.astype(jnp.float32) / 255.0, PAD_MULTIPLE // 2)
             v = _pad_dev(v_u8.astype(jnp.float32) / 255.0, PAD_MULTIPLE // 2)
             return yuv420_to_444(y, u, v)
 
-        @jax.jit
-        def cast_yuv(x444):
+        def _cast_body(x444):
             """Crop to true size, 444->420, quantize to 256 levels
             (reference cast_before_png_saving, img_processing.py:31-75),
             and rebuild the padded 444 reference from the quantized planes
@@ -199,8 +194,18 @@ class FrameCodec:
             for k, p in (("y", yf), ("u", uf), ("v", vf)):
                 out[k] = jnp.clip(jnp.round(jnp.clip(p, 0.0, 1.0) * 255.0),
                                   0, 255).astype(jnp.uint8)
-            ref444 = planes_to_ref(out["y"], out["u"], out["v"])
+            ref444 = _pad_ref_from_planes(out["y"], out["u"], out["v"])
             return out, ref444
+
+        cast_yuv = jax.jit(_cast_body)
+
+        @jax.jit
+        def planes_to_ref(y_u8, u_u8, v_u8):
+            """uint8 true-size planes -> padded float 444 reference.
+            Shared by encoder and decoder so reference tensors are
+            bit-identical on both sides."""
+            return _pad_ref_from_planes(y_u8, u_u8, v_u8)
+
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def mof_analyze(params, frame, prev, nxt, idx_rate, ftype):
@@ -236,9 +241,12 @@ class FrameCodec:
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def cod_synth(params, y_cq, mu, pred, skip, idx_rate, ftype):
-            return model.apply(params, y_cq.astype(jnp.float32), mu, pred,
-                               skip, idx_rate, ftype,
-                               method=FullNet.codecnet_synth)
+            """Synthesis fused with the YUV cast + reference rebuild (one
+            device program; shared by encoder and decoder)."""
+            x_hat = model.apply(params, y_cq.astype(jnp.float32), mu, pred,
+                                skip, idx_rate, ftype,
+                                method=FullNet.codecnet_synth)
+            return _cast_body(x_hat)
 
         self._to444 = to444
         self._planes_to_ref = planes_to_ref
@@ -373,9 +381,8 @@ class FrameCodec:
         y_c, z_qc = self._cod_analyze(p, frame, pred, rate, ftype=frame_type)
         mu_c, bins_c = self._cod_hyper(p, z_qc)
         y_cqc = self._y_quant(y_c, mu_c)
-        x_hat = self._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
-                                ftype=frame_type)
-        planes_dev, ref444 = self._cast_yuv(x_hat)
+        planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
+                                             ftype=frame_type)
 
         # Host side: pull integers and range-code while the device finishes
         # the synthesis/cast of this frame (and the next wave can overlap).
@@ -477,9 +484,9 @@ class FrameCodec:
             bs.decode_y_chunk(c["codecnet_y"], yshape_c, bins_np[i],
                               self.laplace_rows)
             for i, c in enumerate(chunks)])
-        x_hat = self._cod_synth(p, jnp.asarray(y_cqc), mu_c, pred, skip,
-                                rate, ftype=frame_type)
-        planes_dev, ref444 = self._cast_yuv(x_hat)
+        planes_dev, ref444 = self._cod_synth(p, jnp.asarray(y_cqc), mu_c,
+                                             pred, skip, rate,
+                                             ftype=frame_type)
         return self._split_decoded(planes_dev, ref444, k)
 
     def decode_frame(self, frame_bytes: bytes,

@@ -49,7 +49,7 @@ def make_batch(rng: np.random.Generator, n_frames: int, batch: int, size: int):
                         fx[c, w] * (xx + vx * t) + fy[c, w] * (yy + vy * t)
                         + ph[c, w])
                 out[t, b, :, :, c] = acc
-    out = (out - out.min()) / max(out.ptp(), 1e-6)
+    out = (out - out.min()) / max(float(np.ptp(out)), 1e-6)
     return out
 
 
