@@ -74,12 +74,19 @@ def main():
     res = encode_video(codec, frames, coding, wave_batch=wave_batch)
     _ = decode_video(codec, res.bitstream, wave_batch=wave_batch)
 
+    profile_dir = os.environ.get("BENCH_PROFILE", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     t0 = time.time()
     res = encode_video(codec, frames, coding, wave_batch=wave_batch)
     t_enc = time.time() - t0
     t0 = time.time()
     dec = decode_video(codec, res.bitstream, wave_batch=wave_batch)
     t_dec = time.time() - t0
+
+    if profile_dir:
+        jax.profiler.stop_trace()
 
     # Sanity: closed loop must hold or the number is meaningless.
     for idx in dec:

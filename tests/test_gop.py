@@ -95,3 +95,17 @@ def test_ldp_waves_are_sequential():
 ])
 def test_sizes(name, n):
     assert len(generate_gop_struct(name)) == n
+
+
+def test_large_ra_gop64():
+    gop = generate_gop_struct("1_GOP_64")
+    assert len(gop) == 65
+    assert [len(w) for w in gop.waves()] == [1, 1, 1, 2, 4, 8, 16, 32]
+
+
+def test_large_ldp_and_chained():
+    assert len(generate_gop_struct("LDP_1000")) == 1001
+    gop = generate_gop_struct("16_GOP_32")  # intra period 512
+    assert len(gop) == 16 * 32 + 1
+    orders = sorted(f.coding_order for f in gop.frames)
+    assert orders == list(range(len(gop)))
