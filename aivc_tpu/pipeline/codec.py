@@ -234,10 +234,23 @@ class FrameCodec:
                             -AC_MAX_VAL, AC_MAX_VAL - 1).astype(jnp.int16)
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
-        def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
+        def mof_synth_maps(params, y_cq, mu, prev, nxt, idx_rate, ftype):
             return model.apply(params, y_cq.astype(jnp.float32), mu, prev,
                                nxt, idx_rate, ftype,
-                               method=FullNet.mofnet_synth)
+                               method=FullNet.mofnet_synth_maps)
+
+        @functools.partial(jax.jit, static_argnames=("ftype",))
+        def motion_comp(prev, nxt, alpha, beta, v_prev, v_next, ftype):
+            return FullNet.motion_comp_stage(prev, nxt, alpha, beta,
+                                             v_prev, v_next, ftype)
+
+        def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
+            """Two-program split: synthesis maps, then the warp (see
+            FullNet.mofnet_synth_maps docstring)."""
+            alpha, beta, v_prev, v_next = mof_synth_maps(
+                params, y_cq, mu, prev, nxt, idx_rate, ftype=ftype)
+            return motion_comp(prev, nxt, alpha, beta, v_prev, v_next,
+                               ftype=ftype)
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def cod_synth(params, y_cq, mu, pred, skip, idx_rate, ftype):
@@ -257,6 +270,8 @@ class FrameCodec:
         self._cod_hyper = cod_hyper
         self._y_quant = y_quant
         self._mof_synth = mof_synth
+        self._mof_synth_maps = mof_synth_maps
+        self._motion_comp = motion_comp
         self._cod_synth = cod_synth
 
     # ------------------------------------------------------------------
@@ -341,15 +356,15 @@ class FrameCodec:
             return [DecodedFrame(batch, 0, ref444)]
         return [DecodedFrame(batch, i, ref444[i:i + 1]) for i in range(k)]
 
-    def encode_frames_batch(self, frames_u8, prev_refs, next_refs,
-                            frame_type: int, idx_rate: float):
-        """Code k same-type frames as one device batch (a temporal wave).
+    def encode_frames_launch(self, frames_u8, prev_refs, next_refs,
+                             frame_type: int, idx_rate: float):
+        """Queue the ENTIRE device DAG of one wave and return handles.
 
-        frames_u8: list of uint8 plane dicts; prev_refs/next_refs: lists of
-        device-side padded 444 references (None -> zero dummy).  Per-frame
-        bitstreams stay independent — batching changes throughput, not the
-        format.  Returns (list[bytes], list[DecodedFrame], list[stats]).
-        """
+        The encoder's device graph never depends on host range-coding
+        results, so whole GOPs can be queued before any host work: the
+        caller launches every wave (device-side refs flow between them),
+        then finishes host entropy coding per wave while the device runs
+        ahead (encode_frames_finish)."""
         k = len(frames_u8)
         p = self.params
         frame = jnp.concatenate([self.ref_to_444(f) for f in frames_u8], axis=0) \
@@ -358,17 +373,11 @@ class FrameCodec:
         nxt = self._stack_refs(next_refs)
         rate = jnp.float32(idx_rate)
 
-        per_frame_chunks = [dict() for _ in range(k)]
-        stats = [dict() for _ in range(k)]
-
-        # Launch the frame's ENTIRE device DAG first — the encoder never
-        # needs host results to continue device work — then do host-side
-        # range coding while the device runs ahead (async dispatch).
         if frame_type == FRAME_I:
             pred = jnp.zeros_like(frame)
             skip = jnp.zeros_like(frame)
             mof = None
-            z_qm = y_cqm = None
+            z_qm = y_cqm = bins_m = None
         else:
             y_m, z_qm = self._mof_analyze(p, frame, prev, nxt, rate,
                                           ftype=frame_type)
@@ -384,13 +393,30 @@ class FrameCodec:
         planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
                                              ftype=frame_type)
 
-        # Host side: pull integers and range-code while the device finishes
-        # the synthesis/cast of this frame (and the next wave can overlap).
+        decoded = self._split_decoded(planes_dev, ref444, k)
+        handles = {
+            "k": k, "frame_type": frame_type,
+            "z_qm": z_qm, "y_cqm": y_cqm, "bins_m": bins_m, "mof": mof,
+            "z_qc": z_qc, "y_cqc": y_cqc, "bins_c": bins_c,
+            "decoded": decoded,
+        }
+        return handles
+
+    def encode_frames_finish(self, handles):
+        """Host half of a launched wave: pull integers, range-code, pack."""
+        k = handles["k"]
+        frame_type = handles["frame_type"]
+        per_frame_chunks = [dict() for _ in range(k)]
+        stats = [dict() for _ in range(k)]
+
         if frame_type == FRAME_I:
             for s in stats:
                 s["alpha_mean"] = 1.0
                 s["beta_mean"] = 1.0
         else:
+            z_qm, y_cqm, bins_m = (handles["z_qm"], handles["y_cqm"],
+                                   handles["bins_m"])
+            mof = handles["mof"]
             z_np = np.asarray(z_qm, np.int32)
             y_np = np.asarray(y_cqm)
             b_np = np.asarray(bins_m)
@@ -405,16 +431,14 @@ class FrameCodec:
                 stats[i]["alpha_mean"] = float(a_means[i])
                 stats[i]["beta_mean"] = float(b_means[i])
 
-        z_np = np.asarray(z_qc, np.int32)
-        y_np = np.asarray(y_cqc)
-        b_np = np.asarray(bins_c)
+        z_np = np.asarray(handles["z_qc"], np.int32)
+        y_np = np.asarray(handles["y_cqc"])
+        b_np = np.asarray(handles["bins_c"])
         for i in range(k):
             per_frame_chunks[i]["codecnet_z"] = self._encode_z(
                 "codecnet", z_np[i], f"codecnet_z[{i}]")
             per_frame_chunks[i]["codecnet_y"] = self._encode_y(
                 y_np[i], b_np[i], f"codecnet_y[{i}]")
-
-        decoded = self._split_decoded(planes_dev, ref444, k)
 
         frame_bytes = []
         for i in range(k):
@@ -425,7 +449,13 @@ class FrameCodec:
             stats[i]["mode_bytes"] = len(c.get("mofnet_z", b"")) + len(
                 c.get("mofnet_y", b""))
             stats[i]["codec_bytes"] = len(c["codecnet_z"]) + len(c["codecnet_y"])
-        return frame_bytes, decoded, stats
+        return frame_bytes, handles["decoded"], stats
+
+    def encode_frames_batch(self, frames_u8, prev_refs, next_refs,
+                            frame_type: int, idx_rate: float):
+        """Code k same-type frames as one device batch (launch + finish)."""
+        return self.encode_frames_finish(self.encode_frames_launch(
+            frames_u8, prev_refs, next_refs, frame_type, idx_rate))
 
     def encode_frame(self, frame_u8: Dict[str, np.ndarray],
                      prev_ref: Optional[jax.Array],

@@ -88,20 +88,44 @@ def encode_gop(codec: FrameCodec, gop: GopStruct,
     frame_bytes_by_order: Dict[int, bytes] = {}
     n_pix = codec.h * codec.w
 
-    for ftype, specs in wave_groups(gop, max(1, wave_batch)):
-        fbs, decs, stats = codec.encode_frames_batch(
-            [frames_u8[s.idx] for s in specs],
-            [_ref(decoded, s.prev_ref) for s in specs],
-            [_ref(decoded, s.next_ref) for s in specs],
-            ftype, idx_rate)
-        for spec, fb, dec, st in zip(specs, fbs, decs, stats):
-            decoded[spec.idx] = dec
+    # Software pipeline: the encoder's device graph never waits on host
+    # range coding — references flow between waves entirely on-device —
+    # so device work for upcoming waves can be launched ahead while the
+    # host entropy-codes earlier ones.  Lookahead > 0 requires a runtime
+    # that buffers multiple in-flight programs; the remote-relay TPU
+    # backend used in CI deadlocks on it, so it is opt-in
+    # (AIVC_PIPELINE_LOOKAHEAD=2 on real hardware).
+    import os
+    from collections import deque
+
+    LOOKAHEAD = int(os.environ.get("AIVC_PIPELINE_LOOKAHEAD", "0"))
+
+    inflight = deque()
+
+    def _finish_one():
+        specs, handles = inflight.popleft()
+        fbs, _, stats = codec.encode_frames_finish(handles)
+        for spec, fb, st in zip(specs, fbs, stats):
             frame_bytes_by_order[spec.coding_order] = fb
             results.append(FrameResult(
                 idx=first_idx + spec.idx, frame_type=spec.frame_type,
                 bytes=st["bytes"], mode_bytes=st["mode_bytes"],
                 codec_bytes=st["codec_bytes"], alpha_mean=st["alpha_mean"],
                 beta_mean=st["beta_mean"], bpp=st["bytes"] * 8.0 / n_pix))
+
+    for ftype, specs in wave_groups(gop, max(1, wave_batch)):
+        handles = codec.encode_frames_launch(
+            [frames_u8[s.idx] for s in specs],
+            [_ref(decoded, s.prev_ref) for s in specs],
+            [_ref(decoded, s.next_ref) for s in specs],
+            ftype, idx_rate)
+        for spec, dec in zip(specs, handles["decoded"]):
+            decoded[spec.idx] = dec
+        inflight.append((specs, handles))
+        while len(inflight) > LOOKAHEAD:
+            _finish_one()
+    while inflight:
+        _finish_one()
 
     frame_bytes_in_order = [frame_bytes_by_order[o]
                             for o in sorted(frame_bytes_by_order)]

@@ -91,11 +91,9 @@ def main():
     mu_c, bins_c = codec._cod_hyper(p, z_qc)
     add("cod_hyper", timeit(lambda: codec._cod_hyper(p, z_qc)))
     y_cqc = codec._y_quant(y_c, mu_c)
-    x_hat = codec._cod_synth(p, y_cqc, mu_c, pred, skip, rate, ftype=FRAME_P)
-    add("cod_synth[P]",
+    add("cod_synth[P] (incl. cast)",
         timeit(lambda: codec._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
                                         ftype=FRAME_P)))
-    add("cast_yuv", timeit(lambda: codec._cast_yuv(x_hat)))
 
     # Transfers
     t0 = time.perf_counter()

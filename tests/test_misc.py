@@ -1,0 +1,90 @@
+"""Coverage for utilities and training-loss semantics."""
+
+import numpy as np
+import pytest
+
+
+def test_yuv_geometry_parsing(tmp_path):
+    from aivc_tpu.io.yuv import YuvReader, parse_geometry
+
+    w, h, fps = parse_geometry("BlowingBubbles_416x240_50_420.yuv")
+    assert (w, h, fps) == (416, 240, 50)
+    with pytest.raises(ValueError):
+        parse_geometry("no_geometry_here.yuv")
+
+    # Odd dimensions: UV planes are ceil(x/2)
+    p = tmp_path / "odd_31x17_30_420.yuv"
+    frame_bytes = 31 * 17 + 2 * 16 * 9
+    p.write_bytes(bytes(frame_bytes * 2))
+    r = YuvReader(p)
+    assert r.n_frames == 2
+    f = r.read_frame(1)
+    assert f["y"].shape == (17, 31)
+    assert f["u"].shape == (9, 16)
+
+
+def test_loss_excludes_padded_frame_distortion():
+    """Padded frames contribute rate but not distortion
+    (reference: loss_function.py:292-311)."""
+    import jax
+    import jax.numpy as jnp
+
+    from aivc_tpu.gop import generate_gop_struct
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.train.loss import gop_rd_loss
+
+    model, params = init_fullnet(TINY, spatial=64)
+    gop = generate_gop_struct("LDP_2")
+    rng = jax.random.PRNGKey(0)
+    frames = [jax.random.uniform(jax.random.PRNGKey(i), (1, 64, 64, 3))
+              for i in range(3)]
+
+    _, logs_all = gop_rd_loss(model, params, frames, gop, 0, rng,
+                              l_codec=0.01, l_mof=0.01, dist_loss="mse",
+                              nb_pad_frame=0, training=False)
+    _, logs_pad = gop_rd_loss(model, params, frames, gop, 0, rng,
+                              l_codec=0.01, l_mof=0.01, dist_loss="mse",
+                              nb_pad_frame=1, training=False)
+    # Rate average unchanged; distortion normalisation differs
+    np.testing.assert_allclose(float(logs_all["rate_bpp"]),
+                               float(logs_pad["rate_bpp"]), rtol=1e-6)
+    assert not np.isclose(float(logs_all["mse"]), float(logs_pad["mse"]))
+
+
+def test_stage_timer_report():
+    import time
+
+    from aivc_tpu.utils.logging import StageTimer
+
+    t = StageTimer()
+    with t("a"):
+        time.sleep(0.01)
+    with t("b"):
+        pass
+    rep = t.report()
+    assert "a:" in rep and "b:" in rep
+
+
+def test_print_log_msg_format(capsys):
+    from aivc_tpu.utils.logging import print_log_msg
+
+    print_log_msg("INFO", "test_fn", "var", 42)
+    out = capsys.readouterr().out
+    assert out.startswith("[INFO")
+    assert "test_fn" in out and "42" in out
+
+
+def test_frame_result_logger(tmp_path):
+    import json
+
+    from aivc_tpu.pipeline.video import FrameResult
+    from aivc_tpu.utils.logging import FrameResultLogger
+
+    logger = FrameResultLogger(tmp_path)
+    logger.log(FrameResult(idx=0, frame_type=0, bytes=100, mode_bytes=0,
+                           codec_bytes=100, alpha_mean=1.0, beta_mean=1.0,
+                           bpp=0.5))
+    logger.close()
+    rows = [json.loads(l) for l in (tmp_path / "detailed.jsonl").open()]
+    assert rows[0]["bytes"] == 100
+    assert (tmp_path / "detailed.txt").read_text().count("\n") == 2
