@@ -409,22 +409,23 @@ class FrameCodec:
         per_frame_chunks = [dict() for _ in range(k)]
         stats = [dict() for _ in range(k)]
 
+        jobs = []  # (frame_idx, chunk_name, fn) — rANS runs in threads:
+        # the C range coder releases the GIL, so a wave's chunks encode
+        # concurrently on the host cores.
         if frame_type == FRAME_I:
             for s in stats:
                 s["alpha_mean"] = 1.0
                 s["beta_mean"] = 1.0
         else:
-            z_qm, y_cqm, bins_m = (handles["z_qm"], handles["y_cqm"],
-                                   handles["bins_m"])
             mof = handles["mof"]
-            z_np = np.asarray(z_qm, np.int32)
-            y_np = np.asarray(y_cqm)
-            b_np = np.asarray(bins_m)
+            z_np = np.asarray(handles["z_qm"], np.int32)
+            y_np = np.asarray(handles["y_cqm"])
+            b_np = np.asarray(handles["bins_m"])
             for i in range(k):
-                per_frame_chunks[i]["mofnet_z"] = self._encode_z(
-                    "mofnet", z_np[i], f"mofnet_z[{i}]")
-                per_frame_chunks[i]["mofnet_y"] = self._encode_y(
-                    y_np[i], b_np[i], f"mofnet_y[{i}]")
+                jobs.append((i, "mofnet_z", functools.partial(
+                    self._encode_z, "mofnet", z_np[i], f"mofnet_z[{i}]")))
+                jobs.append((i, "mofnet_y", functools.partial(
+                    self._encode_y, y_np[i], b_np[i], f"mofnet_y[{i}]")))
             a_means = np.asarray(mof["alpha_mean"])
             b_means = np.asarray(mof["beta_mean"])
             for i in range(k):
@@ -435,10 +436,21 @@ class FrameCodec:
         y_np = np.asarray(handles["y_cqc"])
         b_np = np.asarray(handles["bins_c"])
         for i in range(k):
-            per_frame_chunks[i]["codecnet_z"] = self._encode_z(
-                "codecnet", z_np[i], f"codecnet_z[{i}]")
-            per_frame_chunks[i]["codecnet_y"] = self._encode_y(
-                y_np[i], b_np[i], f"codecnet_y[{i}]")
+            jobs.append((i, "codecnet_z", functools.partial(
+                self._encode_z, "codecnet", z_np[i], f"codecnet_z[{i}]")))
+            jobs.append((i, "codecnet_y", functools.partial(
+                self._encode_y, y_np[i], b_np[i], f"codecnet_y[{i}]")))
+
+        if self.debug or len(jobs) <= 1:
+            for i, name, fn in jobs:
+                per_frame_chunks[i][name] = fn()
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=min(4, len(jobs))) as ex:
+                futs = [(i, name, ex.submit(fn)) for i, name, fn in jobs]
+                for i, name, fut in futs:
+                    per_frame_chunks[i][name] = fut.result()
 
         frame_bytes = []
         for i in range(k):
