@@ -19,8 +19,14 @@ reference's (xx, yy) grid concatenation order.
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+# AIVC_WARP=pallas routes motion compensation through the Pallas
+# tile-decomposed kernel (ops/warp_pallas.py) where shapes allow.
+_USE_PALLAS = os.environ.get("AIVC_WARP", "") == "pallas"
 
 
 def warp(x: jax.Array, flow: jax.Array) -> jax.Array:
@@ -39,6 +45,12 @@ def warp(x: jax.Array, flow: jax.Array) -> jax.Array:
     0.1 ms for 1088x1920x3 on TPU v5e); the barrier keeps the gather a
     standalone op at its native speed.
     """
+    if _USE_PALLAS:
+        from aivc_tpu.ops.warp_pallas import LANE, warp_pallas
+
+        if x.shape[2] % LANE == 0 and x.shape[1] % min(x.shape[1], 256) == 0:
+            return warp_pallas(x, flow)
+
     x, flow = jax.lax.optimization_barrier((x, flow))
     B, H, W, C = x.shape
     dtype = x.dtype

@@ -62,3 +62,18 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
         return params, opt_state, logs
 
     return train_step
+
+
+def gop_curriculum(nb_epoch_done: int, change_epochs, gop_names):
+    """Training curriculum: which GOP structure to train on at this epoch.
+
+    Mirrors the reference's staged-GOP training helper
+    (reference: src/func_util/GOP_structure.py:177-195): stage i runs
+    until change_epochs[i]; returns the matching gop_names entry.
+    """
+    if len(change_epochs) != len(gop_names):
+        raise ValueError("change_epochs and gop_names must align")
+    for end_epoch, name in zip(change_epochs, gop_names):
+        if nb_epoch_done < end_epoch:
+            return name
+    return gop_names[-1]

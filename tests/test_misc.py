@@ -88,3 +88,19 @@ def test_frame_result_logger(tmp_path):
     rows = [json.loads(l) for l in (tmp_path / "detailed.jsonl").open()]
     assert rows[0]["bytes"] == 100
     assert (tmp_path / "detailed.txt").read_text().count("\n") == 2
+
+
+def test_gop_curriculum():
+    from aivc_tpu.train.trainer import gop_curriculum
+
+    stages = ["1_GOP_2", "1_GOP_4", "2_GOP_4"]
+    epochs = [10, 20, 30]
+    assert gop_curriculum(0, epochs, stages) == "1_GOP_2"
+    assert gop_curriculum(9, epochs, stages) == "1_GOP_2"
+    assert gop_curriculum(10, epochs, stages) == "1_GOP_4"
+    assert gop_curriculum(25, epochs, stages) == "2_GOP_4"
+    assert gop_curriculum(99, epochs, stages) == "2_GOP_4"
+    import pytest
+
+    with pytest.raises(ValueError):
+        gop_curriculum(0, [1], ["a", "b"])
