@@ -356,6 +356,17 @@ class FrameCodec:
             return [DecodedFrame(batch, 0, ref444)]
         return [DecodedFrame(batch, i, ref444[i:i + 1]) for i in range(k)]
 
+    @staticmethod
+    def _par_map(fn, items):
+        """Map over a wave's chunks in threads (the C range coder releases
+        the GIL); sequential for a single item."""
+        if len(items) <= 1:
+            return [fn(it) for it in items]
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(4, len(items))) as ex:
+            return list(ex.map(fn, items))
+
     def encode_frames_launch(self, frames_u8, prev_refs, next_refs,
                              frame_type: int, idx_rate: float):
         """Queue the ENTIRE device DAG of one wave and return handles.
@@ -504,28 +515,29 @@ class FrameCodec:
             pred = jnp.zeros((k, self.hp, self.wp, 3), jnp.float32)
             skip = jnp.zeros_like(pred)
         else:
-            z_qm = np.stack([
-                bs.decode_z_chunk(c["mofnet_z"], zshape_m, self.z_rows["mofnet"])
-                for c in chunks])
+            z_qm = np.stack(self._par_map(
+                lambda c: bs.decode_z_chunk(c["mofnet_z"], zshape_m,
+                                            self.z_rows["mofnet"]), chunks))
             mu_m, bins_m = self._mof_hyper(p, jnp.asarray(z_qm, jnp.float32))
             bins_np = np.asarray(bins_m)
-            y_cqm = np.stack([
-                bs.decode_y_chunk(c["mofnet_y"], yshape_m, bins_np[i],
-                                  self.laplace_rows)
-                for i, c in enumerate(chunks)])
+            y_cqm = np.stack(self._par_map(
+                lambda ic: bs.decode_y_chunk(ic[1]["mofnet_y"], yshape_m,
+                                             bins_np[ic[0]],
+                                             self.laplace_rows),
+                list(enumerate(chunks))))
             mof = self._mof_synth(p, jnp.asarray(y_cqm), mu_m, prev, nxt,
                                   rate, ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
 
-        z_qc = np.stack([
-            bs.decode_z_chunk(c["codecnet_z"], zshape_c, self.z_rows["codecnet"])
-            for c in chunks])
+        z_qc = np.stack(self._par_map(
+            lambda c: bs.decode_z_chunk(c["codecnet_z"], zshape_c,
+                                        self.z_rows["codecnet"]), chunks))
         mu_c, bins_c = self._cod_hyper(p, jnp.asarray(z_qc, jnp.float32))
         bins_np = np.asarray(bins_c)
-        y_cqc = np.stack([
-            bs.decode_y_chunk(c["codecnet_y"], yshape_c, bins_np[i],
-                              self.laplace_rows)
-            for i, c in enumerate(chunks)])
+        y_cqc = np.stack(self._par_map(
+            lambda ic: bs.decode_y_chunk(ic[1]["codecnet_y"], yshape_c,
+                                         bins_np[ic[0]], self.laplace_rows),
+            list(enumerate(chunks))))
         planes_dev, ref444 = self._cod_synth(p, jnp.asarray(y_cqc), mu_c,
                                              pred, skip, rate,
                                              ftype=frame_type)
