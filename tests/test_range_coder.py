@@ -136,3 +136,21 @@ def test_laplace_table_shape_and_monotone():
     assert (np.diff(table.astype(np.int64), axis=1) >= 1).all()
     centers = sigma_bin_centers()
     assert centers[0] < centers[-1]
+
+
+def test_corrupted_stream_decodes_without_crashing():
+    """Bit flips in the rANS payload must not crash the decoder (it
+    produces wrong symbols, which upper layers detect via md5 manifests);
+    out-of-range reads are impossible because every CDF row covers the
+    full symbol alphabet with nonzero frequency."""
+    rng = np.random.default_rng(5)
+    cdf = _random_cdf(2, rng)
+    syms = rng.integers(0, N_SYMBOLS, size=2000).astype(np.uint16)
+    rows = rng.integers(0, 2, size=2000).astype(np.int32)
+    data = bytearray(range_coder.encode(syms, cdf, rows))
+    for flip in (0, len(data) // 2, len(data) - 1):
+        bad = bytearray(data)
+        bad[flip] ^= 0xFF
+        out = range_coder.decode(bytes(bad), 2000, cdf, rows)
+        assert out.shape == (2000,)
+        assert (out < N_SYMBOLS).all()
