@@ -15,12 +15,9 @@ separate-process real-life demonstration.
 from __future__ import annotations
 
 import argparse
-import json
 import sys
 import time
 from pathlib import Path
-
-import numpy as np
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -80,7 +77,7 @@ def main(argv=None) -> int:
         jax.config.update("jax_platforms", "cpu")
 
     from aivc_tpu.config import CodingConfig
-    from aivc_tpu.io.yuv import YuvReader, YuvWriter, parse_geometry
+    from aivc_tpu.io.yuv import YuvReader, YuvWriter
     from aivc_tpu.pipeline.codec import FrameCodec
     from aivc_tpu.pipeline.video import (
         decode_video,

@@ -29,7 +29,7 @@ zero-mean Laplace (reference: pdf_estimator.py:45-46, decode.py:858-867).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import Dict, NamedTuple, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -39,9 +39,7 @@ from aivc_tpu.coding.cdf import (
 )
 from aivc_tpu.config import (
     AC_MAX_VAL,
-    FRAME_B,
     FRAME_I,
-    FRAME_P,
     PAD_MULTIPLE,
     Y_DOWNSCALE,
     Z_DOWNSCALE,

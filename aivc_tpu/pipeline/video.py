@@ -13,13 +13,13 @@ GOP headers carry everything the decoder needs, decode.py:89-124).
 from __future__ import annotations
 
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from aivc_tpu.coding import bitstream as bs
-from aivc_tpu.config import FRAME_B, FRAME_I, FRAME_P, CodingConfig
+from aivc_tpu.config import CodingConfig
 from aivc_tpu.gop import GopStruct, generate_gop_struct
 from aivc_tpu.pipeline.codec import DecodedFrame, FrameCodec
 
@@ -216,7 +216,7 @@ def evaluate_frames(orig: Sequence[Dict[str, np.ndarray]],
     import jax
     import jax.numpy as jnp
 
-    from aivc_tpu.ops.metrics import msssim, psnr
+    from aivc_tpu.ops.metrics import msssim
 
     jit_ms = jax.jit(msssim)
 

@@ -14,12 +14,12 @@ the dependency DAG are static, references flow through the reconstruction
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import jax
 import jax.numpy as jnp
 
-from aivc_tpu.config import FRAME_I, ModelConfig
+from aivc_tpu.config import FRAME_I
 from aivc_tpu.gop import GopStruct
 from aivc_tpu.models.fullnet import FullNet
 from aivc_tpu.ops.layers import x444_to_yuv420

@@ -11,10 +11,7 @@ matching lambda, reference: src/model_mngt/loss_function.py:129-131
 from __future__ import annotations
 
 import functools
-from typing import List, Tuple
-
 import jax
-import jax.numpy as jnp
 import optax
 
 from aivc_tpu.config import ModelConfig

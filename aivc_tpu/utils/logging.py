@@ -12,11 +12,10 @@ reference: src/real_life/encode.py:124-136).
 from __future__ import annotations
 
 import json
-import sys
 import time
 from dataclasses import asdict
 from pathlib import Path
-from typing import Iterable, Optional
+from typing import Optional
 
 
 def print_log_msg(msg_type: str, fn: str, var: str = "", value="") -> None:
