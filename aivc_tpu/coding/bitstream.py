@@ -191,6 +191,10 @@ class GopHeader:
     SIZE = 6
 
     def pack(self) -> bytes:
+        if not (0.0 <= self.idx_rate <= 255 / 16):
+            raise ValueError(
+                f"idx_rate {self.idx_rate} outside the 1-byte header range "
+                f"[0, {255 / 16}]")
         parts = self.gop_struct_name.split("_")
         flag_ldp = "LDP" in parts
         gop_size = int(parts[-1])

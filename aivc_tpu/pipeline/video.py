@@ -146,6 +146,11 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
     gop_len = len(gop)
 
     n_frames = len(frames)
+    if n_frames > 65536:
+        raise ValueError(
+            f"{n_frames} frames exceed the 2-byte frame-index header range "
+            "(reference cap: 2^16 - 1, src/aivc.py:84-101); encode in "
+            "segments")
     nb_gop = -(-n_frames // gop_len)
     idx_first = 0
     idx_last = n_frames - 1

@@ -104,3 +104,15 @@ def test_gop_curriculum():
 
     with pytest.raises(ValueError):
         gop_curriculum(0, [1], ["a", "b"])
+
+
+def test_header_range_validation():
+    import pytest
+
+    from aivc_tpu.coding.bitstream import GopHeader
+
+    GopHeader("1_GOP_4", 15.9).pack()  # max representable
+    with pytest.raises(ValueError):
+        GopHeader("1_GOP_4", 16.5).pack()
+    with pytest.raises(ValueError):
+        GopHeader("1_GOP_4", -1.0).pack()
