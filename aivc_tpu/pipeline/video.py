@@ -160,6 +160,35 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
     gop_chunks: List[bytes] = []
     all_decoded: Dict[int, DecodedFrame] = {}
 
+    if gop_len == 1 and wave_batch > 1:
+        # All-Intra fast path: frames are fully independent
+        # (SURVEY.md §2.5 "AI mode is embarrassingly parallel per frame"),
+        # so consecutive frames batch across GOP boundaries.  Chunking is
+        # derived from (n_frames, wave_batch) alone so the decoder groups
+        # identically.
+        n_pix = codec.h * codec.w
+        header0 = bs.GopHeader(gop_struct_name=name, idx_rate=coding.idx_rate)
+        for start in range(0, n_frames, wave_batch):
+            group = list(range(start, min(start + wave_batch, n_frames)))
+            fbs, decs, stats = codec.encode_frames_batch(
+                [frames[i] for i in group], [None] * len(group),
+                [None] * len(group), 0, coding.idx_rate)
+            for i, fb, dec, st in zip(group, fbs, decs, stats):
+                gop_chunks.append(bs.pack_gop(header0, [fb]))
+                all_decoded[i] = dec
+                results.append(FrameResult(
+                    idx=i, frame_type=0, bytes=st["bytes"],
+                    mode_bytes=st["mode_bytes"],
+                    codec_bytes=st["codec_bytes"],
+                    alpha_mean=st["alpha_mean"], beta_mean=st["beta_mean"],
+                    bpp=st["bytes"] * 8.0 / n_pix))
+        header = codec.video_header(nb_gop, idx_first, idx_last)
+        video = bs.pack_video(header, gop_chunks)
+        elapsed = max(time.time() - t0, 1e-9)
+        return EncodeResult(
+            bitstream=video, frame_results=results,
+            decoded_frames=all_decoded, fps=n_frames / elapsed)
+
     for g in range(nb_gop):
         start = g * gop_len
         gop_frames = []
@@ -189,6 +218,24 @@ def decode_video(codec: FrameCodec, data: bytes,
     header, gop_chunks = bs.unpack_video(data)
     decoded_all: Dict[int, DecodedFrame] = {}
     first_idx = header.idx_first_frame
+
+    # All-Intra fast path mirror: regroup single-frame GOPs into the same
+    # batches the encoder used (wave_batch must match).
+    if wave_batch > 1 and gop_chunks:
+        probe_header, probe_frames = bs.unpack_gop(gop_chunks[0])
+        if (probe_header.gop_struct_name == "1_GOP_0"
+                and len(probe_frames) == 1):
+            n = len(gop_chunks)
+            frame_bytes = [bs.unpack_gop(g)[1][0] for g in gop_chunks]
+            for start in range(0, n, wave_batch):
+                group = list(range(start, min(start + wave_batch, n)))
+                decs = codec.decode_frames_batch(
+                    [frame_bytes[i] for i in group], [None] * len(group),
+                    [None] * len(group), 0, probe_header.idx_rate)
+                for i, dec in zip(group, decs):
+                    decoded_all[first_idx + i] = dec
+            return {k: v for k, v in decoded_all.items()
+                    if k <= header.idx_last_frame}
 
     for gop_bytes in gop_chunks:
         gop_header, frame_chunks = bs.unpack_gop(gop_bytes)

@@ -94,3 +94,20 @@ def test_yuv_png_roundtrip(tmp_path):
         fa, fb = a.read_frame(i), b.read_frame(i)
         for k in ("y", "u", "v"):
             np.testing.assert_array_equal(fa[k], fb[k])
+
+
+def test_all_intra_cross_gop_batching(codec):
+    """AI frames batch across GOP boundaries; roundtrip stays bit-exact."""
+    frames = _synthetic_frames(7)
+    cfg = CodingConfig(coding_config="AI")
+    seq = encode_video(codec, frames, cfg)                 # sequential
+    bat = encode_video(codec, frames, cfg, wave_batch=4)   # batched
+    dec = decode_video(codec, bat.bitstream, wave_batch=4)
+    assert len(dec) == 7
+    for idx in dec:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                dec[idx][k], bat.decoded_frames[idx][k],
+                err_msg=f"AI batched drift frame {idx} {k}")
+    # Batched and sequential bitstreams have equal total size structure
+    assert abs(bat.total_bytes - seq.total_bytes) < 64
