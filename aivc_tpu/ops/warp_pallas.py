@@ -58,14 +58,14 @@ def _hgather_tiles(rows: jax.Array, xi: jax.Array) -> jax.Array:
     return out
 
 
-def _warp_plane_kernel(src_ref, sx_ref, sy_ref, out_ref):
-    """One channel plane: src [H, W]; sx, sy [HB, W] sample coords for this
-    row block; out [HB, W]."""
-    from jax.experimental.pallas import tpu as pltpu
+def _warp_plane_kernel(src_ref, sx_ref, sy_ref, out_ref, *, true_h: int):
+    """One channel plane: src [H + 2*(V_RADIUS+1), W] edge-padded OUTSIDE
+    the kernel (Mosaic does not lower jnp.pad); sx, sy [HB, W] sample
+    coords for this row block; out [HB, W]."""
     import jax.experimental.pallas as pl
 
-    src = src_ref[:]
-    H, W = src.shape
+    H = true_h
+    W = src_ref.shape[1]
     HB = out_ref.shape[0]
     blk = pl.program_id(1) * HB
 
@@ -85,15 +85,11 @@ def _warp_plane_kernel(src_ref, sx_ref, sy_ref, out_ref):
     # Integer row offset of the TOP bilinear row, clamped to the radius.
     d = jnp.clip(y0i - row_ids, -V_RADIUS, V_RADIUS)
 
-    acc = jnp.zeros((HB, W), src.dtype)
+    acc = jnp.zeros((HB, W), out_ref.dtype)
     for off in range(-V_RADIUS, V_RADIUS + 2):
-        # Candidate source row r = y + off (clamped into the plane).
-        r_rows = jnp.clip(row_ids + off, 0, H - 1)
-        # Gather the full rows at offset `off` for this block:
-        # rows_off[y, x] = src[clip(y + blk + off), x]
-        rows_off = jax.lax.dynamic_slice(
-            jnp.pad(src, ((V_RADIUS + 1, V_RADIUS + 1), (0, 0)), mode="edge"),
-            (blk + off + V_RADIUS + 1, 0), (HB, W))
+        # Rows at offset `off` for this block, read from the pre-padded
+        # source ref: rows_off[y, x] = src[clip(y + blk + off), x]
+        rows_off = src_ref[pl.ds(blk + off + V_RADIUS + 1, HB), :]
         h0 = _hgather_tiles(rows_off, x0i)
         h1 = _hgather_tiles(rows_off, x1i)
         hinterp = h0 + (h1 - h0) * wx
@@ -130,14 +126,17 @@ def warp_pallas(x: jax.Array, flow: jax.Array,
     sy = jnp.clip(yy[None] + jnp.clip(flow[..., 1], -V_RADIUS + 1, V_RADIUS - 1),
                   0.0, H - 1)
 
+    pad_n = V_RADIUS + 1
+
     def one(xb, sxb, syb):
         def one_ch(src):
+            src_p = jnp.pad(src, ((pad_n, pad_n), (0, 0)), mode="edge")
             return pl.pallas_call(
-                _warp_plane_kernel,
+                functools.partial(_warp_plane_kernel, true_h=H),
                 out_shape=jax.ShapeDtypeStruct((H, W), src.dtype),
                 grid=(1, H // HB),
                 in_specs=[
-                    pl.BlockSpec((H, W), lambda c, i: (0, 0),
+                    pl.BlockSpec((H + 2 * pad_n, W), lambda c, i: (0, 0),
                                  memory_space=pltpu.VMEM),
                     pl.BlockSpec((HB, W), lambda c, i: (i, 0),
                                  memory_space=pltpu.VMEM),
@@ -147,7 +146,7 @@ def warp_pallas(x: jax.Array, flow: jax.Array,
                 out_specs=pl.BlockSpec((HB, W), lambda c, i: (i, 0),
                                        memory_space=pltpu.VMEM),
                 interpret=interpret,
-            )(src, sxb, syb)
+            )(src_p, sxb, syb)
 
         return jnp.stack([one_ch(xb[..., c]) for c in range(C)], axis=-1)
 
