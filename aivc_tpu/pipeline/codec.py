@@ -227,9 +227,14 @@ class FrameCodec:
 
         @jax.jit
         def y_quant(y, mu):
-            # int16 halves the device->host transfer (values fit [-256, 255])
-            return jnp.clip(jnp.round(y - mu),
-                            -AC_MAX_VAL, AC_MAX_VAL - 1).astype(jnp.int16)
+            """Quantize y and prepare both int16 and int8 host views: the
+            int8 one (half the tunnel transfer) is valid whenever every
+            value fits [-128, 127], which is nearly always for trained
+            models; the host checks the 1-byte flag and pulls only one."""
+            q = jnp.clip(jnp.round(y - mu), -AC_MAX_VAL, AC_MAX_VAL - 1)
+            q16 = q.astype(jnp.int16)
+            fits8 = jnp.all(jnp.abs(q) <= 127).astype(jnp.uint8)
+            return q16, q.astype(jnp.int8), fits8
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def mof_synth_maps(params, y_cq, mu, prev, nxt, idx_rate, ftype):
@@ -355,6 +360,14 @@ class FrameCodec:
         return [DecodedFrame(batch, i, ref444[i:i + 1]) for i in range(k)]
 
     @staticmethod
+    def _pull_y(yq) -> np.ndarray:
+        """Pull quantized y from device, preferring the int8 view."""
+        y16, y8, fits8 = yq
+        if bool(np.asarray(fits8)):
+            return np.asarray(y8).astype(np.int16)
+        return np.asarray(y16)
+
+    @staticmethod
     def _par_map(fn, items):
         """Map over a wave's chunks in threads (the C range coder releases
         the GIL); sequential for a single item."""
@@ -392,15 +405,15 @@ class FrameCodec:
                                           ftype=frame_type)
             mu_m, bins_m = self._mof_hyper(p, z_qm)
             y_cqm = self._y_quant(y_m, mu_m)
-            mof = self._mof_synth(p, y_cqm, mu_m, prev, nxt, rate,
+            mof = self._mof_synth(p, y_cqm[0], mu_m, prev, nxt, rate,
                                   ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
 
         y_c, z_qc = self._cod_analyze(p, frame, pred, rate, ftype=frame_type)
         mu_c, bins_c = self._cod_hyper(p, z_qc)
         y_cqc = self._y_quant(y_c, mu_c)
-        planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
-                                             ftype=frame_type)
+        planes_dev, ref444 = self._cod_synth(p, y_cqc[0], mu_c, pred, skip,
+                                             rate, ftype=frame_type)
 
         decoded = self._split_decoded(planes_dev, ref444, k)
         handles = {
@@ -428,7 +441,7 @@ class FrameCodec:
         else:
             mof = handles["mof"]
             z_np = np.asarray(handles["z_qm"], np.int32)
-            y_np = np.asarray(handles["y_cqm"])
+            y_np = self._pull_y(handles["y_cqm"])
             b_np = np.asarray(handles["bins_m"])
             for i in range(k):
                 jobs.append((i, "mofnet_z", functools.partial(
@@ -442,7 +455,7 @@ class FrameCodec:
                 stats[i]["beta_mean"] = float(b_means[i])
 
         z_np = np.asarray(handles["z_qc"], np.int32)
-        y_np = np.asarray(handles["y_cqc"])
+        y_np = self._pull_y(handles["y_cqc"])
         b_np = np.asarray(handles["bins_c"])
         for i in range(k):
             jobs.append((i, "codecnet_z", functools.partial(
