@@ -72,3 +72,9 @@ def test_separate_process_encode_decode(tmp_path):
     # Decoded file has exactly n frames of the right geometry
     frame_bytes = 64 * 48 + 2 * 32 * 24
     assert out.stat().st_size == n * frame_bytes
+
+    # Third process: standalone evaluation from the files alone
+    ev = _run(["-i", str(clip), "-o", str(out), "--mode", "evaluate",
+               "--model", "tpu-aivc-tiny"])
+    assert ev.returncode == 0, ev.stderr[-2000:]
+    assert "[RESULT] psnr" in ev.stdout
