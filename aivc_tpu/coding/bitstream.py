@@ -16,7 +16,7 @@ z-chunk payload = [rANS bytes].
 GOP chunk  = 6-byte GOP header + per-frame [4-byte length][frame bytes]
              (reference: src/real_life/header.py:22-28,
               src/real_life/cat_binary_files.py:19-41).
-Video file = 18-byte video header + per-GOP [4-byte length][GOP bytes]
+Video file = 19-byte video header + per-GOP [4-byte length][GOP bytes]
              (reference: header.py:30-41, cat_binary_files.py:104-127).
 """
 
@@ -139,9 +139,17 @@ def unpack_frame(data: bytes) -> Dict[str, bytes]:
 # Headers
 # ---------------------------------------------------------------------------
 
+# Latent-chunk coding backends (signalled in the video header so the
+# decoder self-selects; the reference has a single implicit backend).
+BACKEND_HOST = 0     # host rANS over int16 latents (coding/range_coder.py)
+BACKEND_DEVICE = 1   # on-device vectorized rANS (coding/vrans.py)
+
+
 @dataclass(frozen=True)
 class VideoHeader:
-    """18-byte video header (reference: header.py:30-41,74-83)."""
+    """19-byte video header: the reference's 18-byte layout
+    (reference: header.py:30-41,74-83) plus one trailing flags byte that
+    records the entropy-coding backend of the latent chunks."""
 
     h_x: int
     w_x: int
@@ -152,18 +160,20 @@ class VideoHeader:
     nb_gop: int
     idx_first_frame: int
     idx_last_frame: int
+    backend: int = BACKEND_HOST
 
-    SIZE = 18
+    SIZE = 19
 
     def pack(self) -> bytes:
         vals = (self.h_x, self.w_x, self.h_y, self.w_y, self.h_z, self.w_z,
                 self.nb_gop, self.idx_first_frame, self.idx_last_frame)
-        return b"".join(v.to_bytes(2, "big") for v in vals)
+        return b"".join(v.to_bytes(2, "big") for v in vals) + bytes(
+            [self.backend])
 
     @classmethod
     def unpack(cls, data: bytes) -> "VideoHeader":
         vals = [int.from_bytes(data[2 * i:2 * i + 2], "big") for i in range(9)]
-        return cls(*vals)
+        return cls(*vals, backend=data[18])
 
     @property
     def data_dim(self) -> Dict[str, Tuple[int, int]]:

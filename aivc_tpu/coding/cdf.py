@@ -42,13 +42,14 @@ def symbol_edges() -> np.ndarray:
     return np.arange(N_EDGES, dtype=np.float64) - AC_MAX_VAL - 0.5
 
 
-def quantize_pmf(pmf: np.ndarray) -> np.ndarray:
-    """Quantize pmf rows to integer CDFs summing exactly to PROB_SCALE.
+def quantize_pmf(pmf: np.ndarray, scale: int = PROB_SCALE) -> np.ndarray:
+    """Quantize pmf rows to integer CDFs summing exactly to ``scale``.
 
     Args:
       pmf: [n_rows, N_SYMBOLS] nonnegative float64.
+      scale: total integer frequency (host coder: 2^16; device vrans: 2^14).
     Returns:
-      [n_rows, N_SYMBOLS + 1] uint32 with cdf[:,0]=0, cdf[:,-1]=PROB_SCALE,
+      [n_rows, N_SYMBOLS + 1] uint32 with cdf[:,0]=0, cdf[:,-1]=scale,
       every symbol frequency >= 1 (so any clamped symbol stays codable).
     """
     pmf = np.asarray(pmf, dtype=np.float64)
@@ -59,11 +60,13 @@ def quantize_pmf(pmf: np.ndarray) -> np.ndarray:
     total[total == 0] = 1.0
     pmf = pmf / total
 
-    budget = PROB_SCALE - N_SYMBOLS
+    budget = scale - N_SYMBOLS
+    if budget <= 0:
+        raise ValueError(f"scale {scale} too small for {N_SYMBOLS} symbols")
     freq = np.floor(pmf * budget).astype(np.int64) + 1
     # Distribute the integer remainder onto each row's most probable symbol
     # (deterministic argmax tie-break: lowest index).
-    short = PROB_SCALE - freq.sum(axis=1)
+    short = scale - freq.sum(axis=1)
     rows = np.arange(pmf.shape[0])
     freq[rows, pmf.argmax(axis=1)] += short
 
@@ -72,7 +75,8 @@ def quantize_pmf(pmf: np.ndarray) -> np.ndarray:
     return cdf
 
 
-def cdf_rows_from_edge_values(edge_cdf: np.ndarray) -> np.ndarray:
+def cdf_rows_from_edge_values(edge_cdf: np.ndarray,
+                              scale: int = PROB_SCALE) -> np.ndarray:
     """Integer CDF rows from float CDF values at the 513 symbol edges.
 
     Tail mass is folded into the edge symbols (the encoder clamps latents
@@ -85,7 +89,7 @@ def cdf_rows_from_edge_values(edge_cdf: np.ndarray) -> np.ndarray:
     edge_cdf[:, 0] = 0.0
     edge_cdf[:, -1] = 1.0
     pmf = np.diff(edge_cdf, axis=1)
-    return quantize_pmf(pmf)
+    return quantize_pmf(pmf, scale)
 
 
 # ---------------------------------------------------------------------------
@@ -97,7 +101,7 @@ def sigma_bin_centers() -> np.ndarray:
     return np.exp(np.linspace(_LOG_SMIN, _LOG_SMAX, NBINS))
 
 
-def build_laplace_table() -> np.ndarray:
+def build_laplace_table(scale: int = PROB_SCALE) -> np.ndarray:
     """[NBINS, N_SYMBOLS + 1] integer CDF rows for zero-mean Laplace,
     scale b = sigma / sqrt(2) (reference: bitstream.py:127-154)."""
     sigmas = sigma_bin_centers()
@@ -105,7 +109,7 @@ def build_laplace_table() -> np.ndarray:
     b = (sigmas / np.sqrt(2.0))[:, None]                 # [NBINS, 1]
     half_tail = 0.5 * np.exp(-np.abs(edges) / b)
     cdf = np.where(edges < 0, half_tail, 1.0 - half_tail)
-    return cdf_rows_from_edge_values(cdf)
+    return cdf_rows_from_edge_values(cdf, scale)
 
 
 def sigma_to_bin_np(sigma: np.ndarray) -> np.ndarray:
@@ -155,7 +159,8 @@ def expected_bits(symbols: np.ndarray, row_idx: np.ndarray,
 # z table from a FactorizedPrior
 # ---------------------------------------------------------------------------
 
-def build_z_table(prior_module, prior_params) -> np.ndarray:
+def build_z_table(prior_module, prior_params,
+                  scale: int = PROB_SCALE) -> np.ndarray:
     """[C, N_SYMBOLS + 1] integer CDF rows for the hyper-latent z.
 
     Evaluates the learned per-channel CDF once at the 513 symbol edges
@@ -172,4 +177,5 @@ def build_z_table(prior_module, prior_params) -> np.ndarray:
     fn = jax.jit(
         lambda p, e: prior_module.apply(p, e, method=prior_module.cdf))
     vals = fn(prior_params, edges)
-    return cdf_rows_from_edge_values(np.asarray(vals, dtype=np.float64))
+    return cdf_rows_from_edge_values(np.asarray(vals, dtype=np.float64),
+                                     scale)

@@ -1,0 +1,628 @@
+"""Device-side vectorized rANS: entropy coding that runs ON the TPU.
+
+The reference keeps entropy coding on the host (torchac C++ symbol loop,
+reference: src/real_life/bitstream.py:281,454) and ships every latent plus
+its per-element CDF parameters across the PCIe/host boundary.  The host
+backend here (coding/range_coder.py) mirrors that split and inherits its
+cost: at 1080p each coded frame moves several MB of quantized latents and
+scale-bin indices host<->device, which dominates the pipeline on real
+hardware (docs/STATUS.md).
+
+This module removes the boundary: an interleaved K-stream rANS coder
+written as jit-compiled JAX integer ops, so the *only* per-frame traffic
+is the compressed bytes themselves.
+
+Design (the TPU-native analogue of multi-stream GPU entropy coders):
+
+* K independent rANS streams, symbol i assigned to (step i // K, lane
+  i % K) — a [S, K] strided layout, so each scan step consumes one
+  contiguous vector of K symbols.  K is chosen from n alone and recorded
+  in the chunk header.
+* Word-based rANS: 32-bit state x in [2^16, 2^32), 16-bit renormalization,
+  PROB_BITS = 14.  One conditional emission per symbol per step (encode)
+  and one conditional read (decode), the standard single-renorm invariant.
+* Encode scans steps in REVERSE (rANS is LIFO), recording a (word, flag)
+  pair per (step, lane); a cumsum + scatter compacts the flagged words
+  into the exact byte order the decoder consumes: steps ascending, lanes
+  ascending within a step.  The decoder's renorm condition reproduces the
+  flags, so no per-stream sizes or offsets are stored — only the K final
+  states (the information content of the streams) and the word count.
+* All arithmetic is uint32/int32: XLA integer ops are exact and
+  deterministic on every backend, so encoder and decoder agree bit-for-bit
+  across chips — the integer analogue of the reference's determinism
+  contract (reference: src/func_util/cluster_mngt.py:27-37).
+
+Chunk wire format (payload of one coded latent chunk):
+
+  [1B  log2(K)]
+  [4B  BE word count W]
+  [K*4B BE final states]
+  [W*2B BE words]
+
+Tables: integer CDF rows quantized to PROB_SCALE = 2^14 (coding/cdf.py
+quantize_pmf with scale=PROB_SCALE), packed for single-gather access:
+
+  enc_pack[r, s]    = start | freq << 16          (u32, [R, 512])
+  dec_sym[r, slot]  = symbol                       (i32, [R, 16384])
+  dec_pack[r, slot] = start | freq << 16          (u32, [R, 16384])
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+PROB_BITS = 14
+PROB_SCALE = 1 << PROB_BITS
+RANS_L = 1 << 16          # state lower bound; emit/read 16-bit words
+K_MIN = 8
+K_MAX = 1024
+
+_U32 = jnp.uint32
+# NOTE: these must stay plain Python ints.  A module-level jnp scalar is a
+# committed device buffer; closure-capturing one into a jit turns it into a
+# runtime parameter that blocks XLA's scan optimizations — measured 400x
+# slower on TPU for the encode core.
+_MASK16 = 0xFFFF
+_SLOT_MASK = PROB_SCALE - 1
+
+
+def pick_k(n: int) -> int:
+    """Stream count for an n-symbol chunk: the largest power of two with
+    ~512+ symbols per stream, in [K_MIN, K_MAX].  Recorded in the chunk
+    header, so the policy can change without breaking old bitstreams."""
+    if n <= 0:
+        return K_MIN
+    k = K_MIN
+    while k < K_MAX and (n >> 1) // k >= 256:
+        k *= 2
+    return k
+
+
+def plan(n: int, k: int) -> Tuple[int, int]:
+    """(S, n_pad) for an n-symbol chunk over k streams."""
+    s = max(1, -(-n // k))
+    return s, s * k
+
+
+class EncTables(NamedTuple):
+    """Device-side tables for encoding against one CDF-row family."""
+
+    pack: jax.Array      # u32 [R * N_SYMBOLS] start | freq << 16
+    cdf_f32: jax.Array   # f32 [R, N_SYMBOLS + 1] (exact: values < 2^24)
+    pad_sym: int         # most probable symbol of row 0 (pads the tail)
+    n_symbols: int
+
+
+class DecTables(NamedTuple):
+    """Device-side tables for decoding (slot-indexed inverse CDF)."""
+
+    sym: jax.Array       # i32 [R * PROB_SCALE]
+    pack: jax.Array      # u32 [R * PROB_SCALE] start | freq << 16
+    cdf_f32: jax.Array   # f32 [R, N_SYMBOLS + 1]
+    cdf512_f32: jax.Array  # f32 [R, N_SYMBOLS] = cdf_f32[:, 1:] (pallas)
+    n_symbols: int
+
+
+def make_enc_tables(cdf_rows: np.ndarray) -> EncTables:
+    """cdf_rows: [R, N_SYMBOLS + 1] uint32 with cdf[:, -1] == PROB_SCALE."""
+    cdf_rows = np.asarray(cdf_rows, dtype=np.uint32)
+    if cdf_rows[:, -1].max() != PROB_SCALE or cdf_rows[:, -1].min() != PROB_SCALE:
+        raise ValueError(f"CDF rows must be quantized to {PROB_SCALE}")
+    start = cdf_rows[:, :-1]
+    freq = np.diff(cdf_rows.astype(np.int64), axis=1).astype(np.uint32)
+    if freq.min() < 1:
+        raise ValueError("zero-frequency symbol in CDF row")
+    pack = (start | (freq << 16)).astype(np.uint32)
+    pad_sym = int(np.argmax(freq[0]))
+    return EncTables(
+        pack=jnp.asarray(pack.reshape(-1)),
+        cdf_f32=jnp.asarray(cdf_rows.astype(np.float32)),
+        pad_sym=pad_sym,
+        n_symbols=cdf_rows.shape[1] - 1,
+    )
+
+
+def make_dec_tables(cdf_rows: np.ndarray) -> DecTables:
+    cdf_rows = np.asarray(cdf_rows, dtype=np.uint32)
+    n_sym = cdf_rows.shape[1] - 1
+    start = cdf_rows[:, :-1]
+    freq = np.diff(cdf_rows.astype(np.int64), axis=1).astype(np.uint32)
+    # inverse CDF: slot -> symbol, per row (vectorized via searchsorted)
+    slots = np.arange(PROB_SCALE, dtype=np.uint32)
+    sym = np.empty((cdf_rows.shape[0], PROB_SCALE), dtype=np.int32)
+    for r in range(cdf_rows.shape[0]):
+        sym[r] = np.searchsorted(cdf_rows[r], slots, side="right") - 1
+    rows = np.arange(cdf_rows.shape[0])[:, None]
+    pack = (start[rows, sym] | (freq[rows, sym] << 16)).astype(np.uint32)
+    cdf_f32 = cdf_rows.astype(np.float32)
+    return DecTables(
+        sym=jnp.asarray(sym.reshape(-1)),
+        pack=jnp.asarray(pack.reshape(-1)),
+        cdf_f32=jnp.asarray(cdf_f32),
+        cdf512_f32=jnp.asarray(np.ascontiguousarray(cdf_f32[:, 1:])),
+        n_symbols=n_sym,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Table lookup strategies
+# ---------------------------------------------------------------------------
+# 'gather': direct dynamic gathers — fast on CPU, slow on TPU (random
+#   HBM gathers don't vectorize).
+# 'matmul': one-hot [K, R] x cdf [R, 513] matmul (MXU) + comparison/
+#   masked-reduce selects, no gathers.  EXACTNESS: one operand is exactly
+#   {0, 1} and CDF values are integers < 2^14, so every product and the
+#   single-nonzero accumulation are exact in f32 at HIGHEST precision.
+#   Both strategies therefore produce IDENTICAL bitstreams; the choice is
+#   per-platform and never recorded in the stream.
+
+def _default_method() -> str:
+    return "matmul" if jax.default_backend() == "tpu" else "gather"
+
+
+def _row_cdf(r: jax.Array, cdf_f32: jax.Array) -> jax.Array:
+    """[K] row indices -> [K, 513] exact f32 CDF rows via one-hot matmul."""
+    n_rows = cdf_f32.shape[0]
+    oh = (r[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    return jnp.dot(oh, cdf_f32, precision=jax.lax.Precision.HIGHEST)
+
+
+# ---------------------------------------------------------------------------
+# jit cores (shapes static per (n, K); integer-exact on every backend)
+# ---------------------------------------------------------------------------
+
+def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
+                n: int, k: int, n_sym: int, pad_sym: int,
+                method: str = "auto"):
+    """sym, rows: i32 [n] (symbol in [0, n_sym), CDF row per element).
+
+    Returns (words u16 [n_pad], states u32 [K], total i32 scalar): the
+    compacted word stream in decode order, final stream states, and the
+    real word count (words[total:] is garbage).  Traceable (not jitted):
+    callers fuse it into larger programs or vmap it over a batch.
+    """
+    if method == "auto":
+        method = _default_method()
+    s_steps, n_pad = plan(n, k)
+    sym = jnp.pad(sym.astype(jnp.int32), (0, n_pad - n),
+                  constant_values=pad_sym)
+    rows = jnp.pad(rows.astype(jnp.int32), (0, n_pad - n), constant_values=0)
+
+    # The (start, freq) lookup is state-independent, so it is hoisted OUT
+    # of the sequential scan and done for all n_pad elements at once —
+    # the scan body is then pure u32 arithmetic, which XLA runs at full
+    # VPU rate (the in-scan variants are HBM-bound on TPU).
+    if method == "gather":
+        pk = tables.pack[rows * n_sym + sym]
+        start_all, freq_all = pk & _MASK16, pk >> 16
+    else:
+        CH = 8192
+        pad2 = (-n_pad) % CH
+        s3 = jnp.pad(sym, (0, pad2)).reshape(-1, CH)
+        r3 = jnp.pad(rows, (0, pad2)).reshape(-1, CH)
+        iota_r = jnp.arange(tables.cdf_f32.shape[0], dtype=jnp.int32)
+        edges = jnp.arange(n_sym + 1, dtype=jnp.int32)
+
+        def lk(_, inp):
+            s, r = inp
+            oh = (r[:, None] == iota_r[None, :]).astype(jnp.float32)
+            rc = jnp.dot(oh, tables.cdf_f32,
+                         precision=jax.lax.Precision.HIGHEST)
+            oh_s = (edges[None, :] == s[:, None]).astype(jnp.float32)
+            oh_s1 = (edges[None, :] == (s + 1)[:, None]).astype(jnp.float32)
+            start = jnp.sum(rc * oh_s, axis=1)
+            nxt = jnp.sum(rc * oh_s1, axis=1)
+            return 0, (start, nxt - start)
+
+        _, (st3, fr3) = jax.lax.scan(lk, 0, (s3, r3))
+        start_all = st3.reshape(-1)[:n_pad].astype(_U32)
+        freq_all = fr3.reshape(-1)[:n_pad].astype(_U32)
+
+    start2 = start_all.reshape(s_steps, k)
+    freq2 = freq_all.reshape(s_steps, k)
+
+    def step(x, inp):
+        start, freq = inp
+        # x_max = ((RANS_L >> PROB_BITS) << 16) * freq; freq < 2^14 so the
+        # u32 shift cannot overflow.
+        x_max = freq << (32 - PROB_BITS)
+        emit = x >= x_max
+        word = (x & _MASK16).astype(jnp.uint16)
+        x = jnp.where(emit, x >> 16, x)
+        q = x // freq
+        x = (q << PROB_BITS) + (x - q * freq) + start
+        return x, (word, emit)
+
+    x0 = jnp.full((k,), RANS_L, dtype=_U32)
+    states, (words, flags) = jax.lax.scan(step, x0, (start2, freq2),
+                                          reverse=True)
+
+    # Compact flagged words into decode order (steps ascending, lanes
+    # ascending within a step) with a second forward scan: each step packs
+    # its <= K flagged words to the front of a K-slot row (small in-step
+    # scatter) and appends it at the running offset with a full-width
+    # dynamic_update_slice — the garbage tail of one append is overwritten
+    # by the next, so no global scatter is ever needed (a global
+    # [n_pad]-scatter is ~300x slower on TPU).
+    def pack_step(carry, inp):
+        out, g = carry
+        w, f = inp
+        fi = f.astype(jnp.int32)
+        rank = jnp.cumsum(fi) - fi
+        idx = jnp.where(f, rank, k)
+        packed = jnp.zeros((k + 1,), jnp.uint16).at[idx].set(
+            w, mode="drop")[:k]
+        out = jax.lax.dynamic_update_slice(out, packed, (g,))
+        return (out, g + fi.sum()), None
+
+    out0 = jnp.zeros((n_pad + k,), jnp.uint16)
+    (buf, total), _ = jax.lax.scan(pack_step, (out0, jnp.int32(0)),
+                                   (words, flags))
+    return buf[:n_pad], states, total
+
+
+_encode_core = jax.jit(
+    encode_impl, static_argnames=("n", "k", "n_sym", "pad_sym", "method"))
+
+
+def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
+                tables: DecTables, n: int, k: int, n_sym: int,
+                method: str = "auto"):
+    """words: u16 [>= total]; states: u32 [K]; rows: i32 [n].
+
+    Returns symbols i32 [n].  Traceable (not jitted); see encode_impl.
+    """
+    if method == "auto":
+        method = _default_method()
+    s_steps, n_pad = plan(n, k)
+    rows = jnp.pad(rows.astype(jnp.int32), (0, n_pad - n), constant_values=0)
+    rows2 = rows.reshape(s_steps, k)
+
+    def lookup(slot, r):
+        if method == "gather":
+            idx = r * PROB_SCALE + slot.astype(jnp.int32)
+            s = tables.sym[idx]
+            pk = tables.pack[idx]
+            return s, pk & _MASK16, pk >> 16
+        # Comparison-based inverse CDF on the MXU-produced exact rows:
+        # sym = #{j >= 1 : cdf[j] <= slot}; start = max cdf[j] <= slot;
+        # next = min cdf[j] > slot.  No 16K-wide inverse table needed.
+        rc = _row_cdf(r, tables.cdf_f32)                   # [K, 513]
+        slot_f = slot.astype(jnp.float32)[:, None]
+        le = rc <= slot_f
+        s = jnp.sum(le[:, 1:], axis=1).astype(jnp.int32)
+        start = jnp.max(jnp.where(le, rc, 0.0), axis=1)
+        nxt = jnp.min(jnp.where(le, jnp.float32(np.inf), rc), axis=1)
+        return s, start.astype(_U32), (nxt - start).astype(_U32)
+
+    def step(carry, r):
+        x, g = carry
+        slot = x & _SLOT_MASK
+        s, start, freq = lookup(slot, r)
+        x = freq * (x >> PROB_BITS) + slot - start
+        need = x < RANS_L
+        need_i = need.astype(jnp.int32)
+        rank = jnp.cumsum(need_i) - need_i
+        w = words[(g + rank).astype(jnp.int32)].astype(_U32)
+        x = jnp.where(need, (x << 16) | w, x)
+        return (x, g + need_i.sum()), s
+
+    (xf, _), syms = jax.lax.scan(step, (states, jnp.int32(0)), rows2)
+    return syms.reshape(n_pad)[:n]
+
+
+_decode_core = jax.jit(decode_impl,
+                       static_argnames=("n", "k", "n_sym", "method"))
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU decode kernel
+# ---------------------------------------------------------------------------
+# XLA cannot run the decode loop fast: the table lookup sits on the
+# sequential critical path and every step round-trips [K, 513]
+# intermediates through HBM (~45 us/step measured on v5e).  This kernel
+# keeps the words, the CDF table and the stream states resident in VMEM
+# and expresses both data-dependent lookups as one-hot contractions on
+# the MXU:
+#
+#   * slot -> (sym, start, freq): rc = onehot(rows) @ cdf  ([8,128,512]),
+#     sym by counting rc <= slot, start/next by one-hot selects — exact
+#     in f32 (values < 2^14, one-hot operands are {0,1}).
+#   * word feed: a 128-aligned dynamic window of the word stream is
+#     sliced per step and distributed to the lanes that renormalize via a
+#     (window-row one-hot) x (window-lane one-hot) contraction — exact in
+#     f32 (words < 2^16 < 2^24).
+#
+# Lane order is k = sublane * 128 + lane, matching the [S, K] row-major
+# reshape of the XLA paths, so all three methods are bit-identical.
+
+_SUB = 8          # sublanes per state tile; K = _SUB * 128
+_WIN_ROWS = 24    # window rows: >= K/128 + 16 (u16 sublane alignment)
+
+
+def _decode_pallas_kernel(rows_ref, words_ref, states_ref, cdf_ref,
+                          out_ref, x_ref, g_ref):
+    t = pl.program_id(1)
+
+    @pl.when(t == 0)
+    def _():
+        x_ref[:] = states_ref[0]
+        g_ref[0] = 0
+
+    x = x_ref[:]                                     # [8, 128] u32
+    slot = x & _SLOT_MASK
+    r = rows_ref[0]                                  # [8, 128] i32
+
+    n_rows = cdf_ref.shape[0]
+    oh_r = (r[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (_SUB, 128, n_rows), 2)).astype(jnp.float32)
+    # rc[s, l, j] = cdf[r[s,l], j + 1]  (column 0 of the true CDF is 0
+    # and is dropped so the table is exactly [R, 512])
+    rc = jax.lax.dot_general(
+        oh_r, cdf_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
+    # Mosaic has no u32<->f32 casts; all values fit int32, so hop via it.
+    slot_f = slot.astype(jnp.int32).astype(jnp.float32)
+    le = rc <= slot_f[:, :, None]
+    s = jnp.sum(le.astype(jnp.int32), axis=2)        # [8, 128] symbol
+    e512 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 128, 512), 2)
+    oh_s0 = (e512 == (s - 1)[:, :, None]).astype(jnp.float32)
+    oh_s1 = (e512 == s[:, :, None]).astype(jnp.float32)
+    start = jnp.sum(rc * oh_s0, axis=2).astype(jnp.int32).astype(
+        jnp.uint32)                                      # 0 when s==0
+    nxt = jnp.sum(rc * oh_s1, axis=2).astype(jnp.int32).astype(jnp.uint32)
+    freq = nxt - start
+
+    x = freq * (x >> PROB_BITS) + slot - start
+    # x < 2^16 as a sign-free test: Mosaic compares of uint32 can go
+    # through signed lanes, so avoid ordered comparison on full-range u32.
+    need = (x >> 16) == 0
+    need_i = need.astype(jnp.int32)
+
+    # rank = exclusive prefix count in lane order (row-major [8, 128]).
+    # Mosaic has no cumsum; prefix sums become lower-triangular matmuls
+    # (exact in f32: 0/1 operands, sums <= 1024).
+    need_f = need_i.astype(jnp.float32)
+    lt128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+             <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+             ).astype(jnp.float32)
+    row_c = jax.lax.dot_general(
+        need_f, lt128, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [8, 128] inclusive
+    row_tot = row_c[:, 127:128]                      # [8, 1]
+    lt8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+           ).astype(jnp.float32)
+    row_off = jax.lax.dot_general(
+        row_tot.reshape(1, 8), lt8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(8, 1) - row_tot
+    rank = (row_off + row_c).astype(jnp.int32) - need_i  # [8, 128]
+
+    # 128-aligned window of the word stream covering [g, g + K]
+    g = g_ref[0]
+    row0 = pl.multiple_of((g // 2048) * 16, 16)
+    win = words_ref[0, pl.ds(row0, _WIN_ROWS), :].astype(
+        jnp.int32).astype(jnp.float32)
+    idx = (g - row0 * 128) + rank                    # in [0, WIN_ROWS*128)
+    wr = idx // 128
+    wl = idx % 128
+    oh_wr = (wr[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (_SUB, 128, _WIN_ROWS), 2)).astype(jnp.float32)
+    tmp = jax.lax.dot_general(
+        oh_wr, win,
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 128] exact
+    oh_wl = (wl[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (_SUB, 128, 128), 2)).astype(jnp.float32)
+    # The u16 window may be sign-extended on load (Mosaic treats it as
+    # i16); the f32 roundtrip is exact either way and & 0xFFFF recovers
+    # the unsigned word bits.
+    wv = (jnp.sum(tmp * oh_wl, axis=2).astype(jnp.int32)
+          & 0xFFFF).astype(jnp.uint32)
+
+    x = jnp.where(need, (x << 16) | wv, x)
+    x_ref[:] = x
+    g_ref[0] = g + jnp.sum(need_i)
+    out_ref[0] = s
+
+
+def _pallas_ok(n: int, k: int) -> bool:
+    if k != _SUB * 128:
+        return False
+    _, n_pad = plan(n, k)
+    # words VMEM footprint (u16) + headroom for the [8,128,512] f32
+    # intermediates; beyond this fall back to the XLA matmul method.
+    return n_pad * 2 <= 6 * 1024 * 1024
+
+
+def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
+                 tables: DecTables, n: int, k: int,
+                 method: str = "auto") -> jax.Array:
+    """Decode a batch of chunks: words [B, >= n_pad] u16, states [B, K],
+    rows [B, n] i32 -> symbols i32 [B, n].
+
+    method 'auto' picks the Pallas kernel on TPU when the chunk fits in
+    VMEM, the XLA matmul scan otherwise, and gathers on CPU.  All methods
+    are bit-identical.
+    """
+    if method == "auto":
+        if jax.default_backend() == "tpu" and _pallas_ok(n, k):
+            method = "pallas"
+        else:
+            method = _default_method()
+    if method == "pallas":
+        return decode_pallas_batch(words, states, rows, tables.cdf512_f32,
+                                   n=n, k=k)
+    return jax.vmap(lambda w, st, r: decode_impl(
+        w, st, r, tables, n=n, k=k, n_sym=tables.n_symbols,
+        method=method))(words, states, rows)
+
+
+def decode_pallas_batch(words: jax.Array, states: jax.Array,
+                        rows: jax.Array, cdf512_f32: jax.Array,
+                        n: int, k: int, interpret: bool = False):
+    """Batched Pallas decode: words [B, n_pad] u16, states [B, K] u32,
+    rows [B, n] i32 -> symbols i32 [B, n]."""
+    from jax.experimental import pallas as pl_  # noqa: F401 (import check)
+
+    if k != _SUB * 128:
+        raise ValueError(f"pallas decode requires K == {_SUB * 128}")
+    s_steps, n_pad = plan(n, k)
+    b = words.shape[0]
+    # Word buffer padded so any 16-row-aligned window read stays in range.
+    wr_rows = n_pad // 128 + 2 * _WIN_ROWS
+    wr_rows += (-wr_rows) % 16
+    w3 = jnp.zeros((b, wr_rows, 128), jnp.uint16)
+    w3 = w3.at[:, :n_pad // 128, :].set(words[:, :n_pad].reshape(
+        b, n_pad // 128, 128))
+    rows_p = jnp.pad(rows.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
+    rows3 = rows_p.reshape(b, s_steps * _SUB, 128)
+    states3 = states.astype(jnp.uint32).reshape(b, _SUB, 128)
+
+    out = pl.pallas_call(
+        _decode_pallas_kernel,
+        grid=(b, s_steps),
+        in_specs=[
+            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, wr_rows, 128), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdf512_f32.shape[0], 512),
+                         lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, s_steps * _SUB, 128), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, 128), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rows3, w3, states3, cdf512_f32)
+    return out.reshape(b, n_pad)[:, :n]
+
+
+# ---------------------------------------------------------------------------
+# Host-facing chunk API
+# ---------------------------------------------------------------------------
+
+def encode_launch(vals_dev: jax.Array, rows_dev: jax.Array,
+                  tables: EncTables, n: int, k: int | None = None):
+    """Queue the device encode of one chunk; no host sync.
+
+    vals_dev: i32 [n] symbols (already shifted to [0, n_symbols)).
+    rows_dev: i32 [n] CDF row per element.
+    Returns opaque handles for encode_finish.
+    """
+    if k is None:
+        k = pick_k(n)
+    buf, states, total = _encode_core(vals_dev, rows_dev, tables,
+                                      n=n, k=k, n_sym=tables.n_symbols,
+                                      pad_sym=tables.pad_sym)
+    return {"buf": buf, "states": states, "total": total, "k": k, "n": n}
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _prefix(buf, m: int):
+    return buf[:m]
+
+
+def bucket(total: int, n_pad: int) -> int:
+    """Round a word count up to a power-of-two bucket (min 4096), capped at
+    n_pad — bounds the number of compiled prefix/pad programs."""
+    m = 4096
+    while m < total:
+        m *= 2
+    return min(m, n_pad)
+
+
+def serialize_chunk(k: int, states: np.ndarray, words: np.ndarray) -> bytes:
+    """[1B log2 K][4B BE word count][K*4B BE states][words BE]."""
+    out = bytearray()
+    out.append(int(k).bit_length() - 1)
+    out.extend(int(words.size).to_bytes(4, "big"))
+    out.extend(np.asarray(states).astype(">u4").tobytes())
+    out.extend(np.asarray(words).astype(">u2").tobytes())
+    return bytes(out)
+
+
+def encode_finish(handles) -> bytes:
+    """Pull the compressed chunk (sync point) and serialize it."""
+    k, n = handles["k"], handles["n"]
+    _, n_pad = plan(n, k)
+    total = int(handles["total"])
+    states = np.asarray(handles["states"])
+    if total > 0:
+        m = bucket(total, n_pad)
+        words = np.asarray(_prefix(handles["buf"], m))[:total]
+    else:
+        words = np.empty(0, np.uint16)
+    return serialize_chunk(k, states, words)
+
+
+def parse_chunk(payload: bytes, n: int):
+    """Chunk bytes -> (words u16 [total], states u32 [K], k).  Host-only."""
+    k = 1 << payload[0]
+    total = int.from_bytes(payload[1:5], "big")
+    pos = 5
+    states = np.frombuffer(payload, dtype=">u4", count=k, offset=pos)
+    pos += 4 * k
+    words = np.frombuffer(payload, dtype=">u2", count=total, offset=pos)
+    if pos + 2 * total != len(payload):
+        raise ValueError("vrans chunk size mismatch")
+    return words.astype(np.uint16), states.astype(np.uint32), k
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad",))
+def _pad_words(words, n_pad: int):
+    return jnp.pad(words, (0, n_pad - words.shape[0]))
+
+
+def decode_device(payload: bytes, rows_dev: jax.Array, tables: DecTables,
+                  n: int) -> jax.Array:
+    """Decode one chunk fully on device; returns symbols i32 [n] (async).
+
+    Only the compressed words + K states cross the host->device boundary;
+    rows (e.g. sigma bins) stay on device.
+    """
+    words, states, k = parse_chunk(payload, n)
+    _, n_pad = plan(n, k)
+    m = bucket(max(len(words), 1), n_pad)
+    w = np.zeros(m, np.uint16)
+    w[:len(words)] = words
+    words_dev = _pad_words(jnp.asarray(w), n_pad)
+    return _decode_core(words_dev, jnp.asarray(states), rows_dev, tables,
+                        n=n, k=k, n_sym=tables.n_symbols)
+
+
+def encode_chunk(vals: np.ndarray, rows: np.ndarray,
+                 tables: EncTables) -> bytes:
+    """Synchronous convenience wrapper (tests, debug)."""
+    n = int(np.asarray(vals).size)
+    h = encode_launch(jnp.asarray(np.asarray(vals).reshape(-1), jnp.int32),
+                      jnp.asarray(np.asarray(rows).reshape(-1), jnp.int32),
+                      tables, n)
+    return encode_finish(h)
+
+
+def decode_chunk(payload: bytes, rows: np.ndarray,
+                 tables: DecTables) -> np.ndarray:
+    """Synchronous convenience wrapper (tests, debug)."""
+    rows = np.asarray(rows).reshape(-1)
+    out = decode_device(payload, jnp.asarray(rows, jnp.int32), tables,
+                        int(rows.size))
+    return np.asarray(out)

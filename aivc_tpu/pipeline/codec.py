@@ -32,7 +32,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from aivc_tpu.coding import bitstream as bs
+from aivc_tpu.coding import vrans
 from aivc_tpu.coding.cdf import (
+    N_SYMBOLS,
     build_laplace_table,
     build_z_table,
     sigma_to_bin_jnp,
@@ -115,11 +117,21 @@ class FrameCodec:
     """Per-resolution compiled codec around a FullNet parameter tree."""
 
     def __init__(self, cfg: ModelConfig, params, height: int, width: int,
-                 debug: bool = False, mesh=None):
+                 debug: bool = False, mesh=None,
+                 entropy_backend: str = "device"):
         self.cfg = cfg
         # Debug mode: per-chunk lossless self-check + estimated-vs-real
         # rate report (reference: bitstream.py:307-350).
         self.debug = debug
+        # Latent-chunk entropy coding backend for ENCODING ('device' |
+        # 'host'); decoding honours the bitstream's video-header flag, so
+        # either codec decodes either format.  'device' runs the
+        # vectorized rANS on the accelerator (coding/vrans.py) and only
+        # moves compressed bytes across the host boundary; 'host' mirrors
+        # the reference's split (latents pulled, coded by the C rANS).
+        if entropy_backend not in ("device", "host"):
+            raise ValueError(f"unknown entropy backend {entropy_backend!r}")
+        self.backend = entropy_backend
         # Optional device mesh: frame rows are sharded over the 'spatial'
         # axis and GSPMD inserts the conv halo exchanges (SURVEY.md §2.5
         # "intra-frame tile parallelism").  Parameters are replicated.
@@ -137,6 +149,15 @@ class FrameCodec:
         self.h_uv, self.w_uv = math.ceil(height / 2), math.ceil(width / 2)
         self.hy, self.wy = self.hp // Y_DOWNSCALE, self.wp // Y_DOWNSCALE
         self.hz, self.wz = self.hp // Z_DOWNSCALE, self.wp // Z_DOWNSCALE
+        # Per-chunk symbol counts (static shapes for the vrans programs).
+        self._n_y = {
+            "mofnet": self.hy * self.wy * cfg.mofnet.nb_ft_y,
+            "codecnet": self.hy * self.wy * cfg.codecnet.nb_ft_y,
+        }
+        self._n_z = {
+            "mofnet": self.hz * self.wz * cfg.mofnet.nb_ft_z,
+            "codecnet": self.hz * self.wz * cfg.codecnet.nb_ft_z,
+        }
 
         self.model = FullNet(cfg)
 
@@ -146,12 +167,26 @@ class FrameCodec:
 
         self.laplace_rows = build_laplace_table()
         self.z_rows = {}
+        # Device-backend tables: same learned CDFs quantized to the vrans
+        # scale (2^14), in both forward (encode) and slot-inverse (decode)
+        # packed forms, resident on device.
+        lap14 = build_laplace_table(scale=vrans.PROB_SCALE)
+        self._lap14 = lap14
+        self.vr_y_enc = vrans.make_enc_tables(lap14)
+        self.vr_y_dec = vrans.make_dec_tables(lap14)
+        self._z14 = {}
+        self.vr_z_enc = {}
+        self.vr_z_dec = {}
         for which in ("mofnet", "codecnet"):
             net_cfg = cfg.mofnet if which == "mofnet" else cfg.codecnet
             prior = FactorizedPrior(net_cfg.nb_ft_z)
             prior_params = {"params": params["params"][
                 "mofnet" if which == "mofnet" else "codecnet"]["pdf_z"]}
             self.z_rows[which] = build_z_table(prior, prior_params)
+            z14 = build_z_table(prior, prior_params, scale=vrans.PROB_SCALE)
+            self._z14[which] = z14
+            self.vr_z_enc[which] = vrans.make_enc_tables(z14)
+            self.vr_z_dec[which] = vrans.make_dec_tables(z14)
 
         self._build_stage_fns()
 
@@ -263,6 +298,64 @@ class FrameCodec:
                                 skip, idx_rate, ftype,
                                 method=FullNet.codecnet_synth)
             return _cast_body(x_hat)
+
+        # ---- device-backend entropy coding programs (coding/vrans.py):
+        # symbol shift + row prep fused with the scan cores, vmapped over
+        # the wave batch so each chunk type is ONE device program.
+        @functools.partial(jax.jit, static_argnames=("n", "k", "pad_sym"))
+        def vrenc_y(q16, bins, tables, n, k, pad_sym):
+            B = q16.shape[0]
+            sym = (q16.astype(jnp.int32) + AC_MAX_VAL).reshape(B, n)
+            rows = bins.astype(jnp.int32).reshape(B, n)
+            return jax.vmap(lambda s, r: vrans.encode_impl(
+                s, r, tables, n=n, k=k, n_sym=N_SYMBOLS, pad_sym=pad_sym)
+            )(sym, rows)
+
+        @functools.partial(jax.jit, static_argnames=("n", "k", "pad_sym"))
+        def vrenc_z(z_q, tables, n, k, pad_sym):
+            B, H, W, C = z_q.shape
+            sym = (z_q.astype(jnp.int32) + AC_MAX_VAL).reshape(B, n)
+            rows = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32), (H, W, C)).reshape(n)
+            return jax.vmap(lambda s: vrans.encode_impl(
+                s, rows, tables, n=n, k=k, n_sym=N_SYMBOLS, pad_sym=pad_sym)
+            )(sym)
+
+        @functools.partial(jax.jit, static_argnames=("n", "k", "shape"))
+        def vrdec_z(words, states, tables, n, k, shape):
+            B = words.shape[0]
+            rows = jnp.broadcast_to(
+                jnp.arange(shape[-1], dtype=jnp.int32), shape).reshape(1, n)
+            rows = jnp.broadcast_to(rows, (B, n))
+            syms = vrans.decode_batch(words, states, rows, tables, n=n, k=k)
+            # float32, matching the encoder's z_q dtype so hyper-synthesis
+            # is the same compiled program on both sides.
+            return (syms - AC_MAX_VAL).astype(jnp.float32).reshape(
+                (B,) + shape)
+
+        @functools.partial(jax.jit, static_argnames=("n", "k", "shape"))
+        def vrdec_y(words, states, bins, tables, n, k, shape):
+            B = words.shape[0]
+            rows = bins.astype(jnp.int32).reshape(B, n)
+            syms = vrans.decode_batch(words, states, rows, tables, n=n, k=k)
+            # int16, matching the encoder's q16 so synthesis is shared.
+            return (syms - AC_MAX_VAL).astype(jnp.int16).reshape(
+                (B,) + shape)
+
+        @functools.partial(jax.jit, static_argnames=("m",))
+        def prefix_cols(buf, m):
+            return buf[:, :m]
+
+        @functools.partial(jax.jit, static_argnames=("n_pad",))
+        def pad_cols(w, n_pad):
+            return jnp.pad(w, ((0, 0), (0, n_pad - w.shape[1])))
+
+        self._vrenc_y = vrenc_y
+        self._vrenc_z = vrenc_z
+        self._vrdec_y = vrdec_y
+        self._vrdec_z = vrdec_z
+        self._prefix_cols = prefix_cols
+        self._pad_cols = pad_cols
 
         self._to444 = to444
         self._planes_to_ref = planes_to_ref
@@ -422,14 +515,140 @@ class FrameCodec:
             "z_qc": z_qc, "y_cqc": y_cqc, "bins_c": bins_c,
             "decoded": decoded,
         }
+        if self.backend == "device":
+            # Queue the on-device entropy coding of every chunk right
+            # behind the transforms — still zero host sync; the host later
+            # pulls only compressed words (encode_frames_finish).
+            vr = {}
+            if frame_type != FRAME_I:
+                vr["mofnet_z"] = self._launch_vr_z("mofnet", z_qm)
+                vr["mofnet_y"] = self._launch_vr_y("mofnet", y_cqm[0],
+                                                   bins_m)
+            vr["codecnet_z"] = self._launch_vr_z("codecnet", z_qc)
+            vr["codecnet_y"] = self._launch_vr_y("codecnet", y_cqc[0],
+                                                 bins_c)
+            handles["vr"] = vr
         return handles
 
+    def _launch_vr_z(self, which: str, z_q):
+        n = self._n_z[which]
+        kk = vrans.pick_k(n)
+        t = self.vr_z_enc[which]
+        res = self._vrenc_z(z_q, t, n=n, k=kk, pad_sym=t.pad_sym)
+        return {"res": res, "n": n, "k": kk}
+
+    def _launch_vr_y(self, which: str, q16, bins):
+        n = self._n_y[which]
+        kk = vrans.pick_k(n)
+        t = self.vr_y_enc
+        res = self._vrenc_y(q16, bins, t, n=n, k=kk, pad_sym=t.pad_sym)
+        return {"res": res, "n": n, "k": kk}
+
+    def _finish_vr_chunks(self, vr):
+        """Pull one wave's compressed chunks: per chunk type, one pull of
+        (totals, states) plus one bucketed pull of the word matrix."""
+        out = {}
+        for name, h in vr.items():
+            buf, states, totals = h["res"]
+            totals_np = np.asarray(totals)
+            states_np = np.asarray(states)
+            _, n_pad = vrans.plan(h["n"], h["k"])
+            mmax = int(totals_np.max())
+            rows = None
+            if mmax > 0:
+                m = vrans.bucket(mmax, n_pad)
+                rows = np.asarray(self._prefix_cols(buf, m))
+            payloads = []
+            for i in range(totals_np.shape[0]):
+                t = int(totals_np[i])
+                words = (rows[i, :t] if t > 0
+                         else np.empty(0, np.uint16))
+                payloads.append(
+                    vrans.serialize_chunk(h["k"], states_np[i], words))
+            out[name] = payloads
+        return out
+
+    def _debug_vr_frame(self, handles, chunks_i: Dict[str, bytes], i: int):
+        """Per-chunk lossless self-check + analytic-vs-real rate for the
+        device backend (reference: bitstream.py:307-350)."""
+        from aivc_tpu.coding.cdf import expected_bits
+
+        def check(name, vals, rows_np, cdf14, dec_tables):
+            payload = chunks_i[name]
+            back = vrans.decode_chunk(payload, rows_np, dec_tables)
+            # decode_chunk returns shifted symbols (value + AC_MAX_VAL)
+            lossless = np.array_equal(
+                back.reshape(vals.shape) - AC_MAX_VAL, vals)
+            est = expected_bits(
+                (vals + AC_MAX_VAL).astype(np.int64).reshape(-1),
+                rows_np.reshape(-1), cdf14) / 8.0
+            print(f"[AC-dev] {name}[{i}]: {len(payload)}B real, "
+                  f"{est:.1f}B analytic, "
+                  f"{'lossless Ok!' if lossless else 'NOT LOSSLESS Ko!'}")
+            if not lossless:
+                raise AssertionError(
+                    f"device entropy coding not lossless: {name}[{i}]")
+
+        ft = handles["frame_type"]
+        if ft != FRAME_I:
+            z = np.asarray(handles["z_qm"], np.int32)[i]
+            rows = np.broadcast_to(
+                np.arange(z.shape[-1], dtype=np.int32), z.shape)
+            check("mofnet_z", z, rows, self._z14["mofnet"],
+                  self.vr_z_dec["mofnet"])
+            y = np.asarray(handles["y_cqm"][0], np.int32)[i]
+            b = np.asarray(handles["bins_m"], np.int32)[i]
+            check("mofnet_y", y, b, self._lap14, self.vr_y_dec)
+        z = np.asarray(handles["z_qc"], np.int32)[i]
+        rows = np.broadcast_to(
+            np.arange(z.shape[-1], dtype=np.int32), z.shape)
+        check("codecnet_z", z, rows, self._z14["codecnet"],
+              self.vr_z_dec["codecnet"])
+        y = np.asarray(handles["y_cqc"][0], np.int32)[i]
+        b = np.asarray(handles["bins_c"], np.int32)[i]
+        check("codecnet_y", y, b, self._lap14, self.vr_y_dec)
+
     def encode_frames_finish(self, handles):
-        """Host half of a launched wave: pull integers, range-code, pack."""
+        """Host half of a launched wave.
+
+        Device backend: pull compressed words only (the device already
+        entropy-coded every chunk).  Host backend: pull integers, range-
+        code on host threads, pack.
+        """
         k = handles["k"]
         frame_type = handles["frame_type"]
         per_frame_chunks = [dict() for _ in range(k)]
         stats = [dict() for _ in range(k)]
+
+        if self.backend == "device":
+            vr_payloads = self._finish_vr_chunks(handles["vr"])
+            for name, payloads in vr_payloads.items():
+                for i in range(k):
+                    per_frame_chunks[i][name] = payloads[i]
+            if frame_type == FRAME_I:
+                for s in stats:
+                    s["alpha_mean"] = 1.0
+                    s["beta_mean"] = 1.0
+            else:
+                a_means = np.asarray(handles["mof"]["alpha_mean"])
+                b_means = np.asarray(handles["mof"]["beta_mean"])
+                for i in range(k):
+                    stats[i]["alpha_mean"] = float(a_means[i])
+                    stats[i]["beta_mean"] = float(b_means[i])
+            if self.debug:
+                for i in range(k):
+                    self._debug_vr_frame(handles, per_frame_chunks[i], i)
+            frame_bytes = []
+            for i in range(k):
+                fb = bs.pack_frame(per_frame_chunks[i])
+                frame_bytes.append(fb)
+                c = per_frame_chunks[i]
+                stats[i]["bytes"] = len(fb)
+                stats[i]["mode_bytes"] = len(c.get("mofnet_z", b"")) + len(
+                    c.get("mofnet_y", b""))
+                stats[i]["codec_bytes"] = len(c["codecnet_z"]) + len(
+                    c["codecnet_y"])
+            return frame_bytes, handles["decoded"], stats
 
         jobs = []  # (frame_idx, chunk_name, fn) — rANS runs in threads:
         # the C range coder releases the GIL, so a wave's chunks encode
@@ -501,14 +720,85 @@ class FrameCodec:
             [frame_u8], [prev_ref], [next_ref], frame_type, idx_rate)
         return fbs[0], decs[0], stats[0]
 
+    def _push_chunk_batch(self, payloads, n: int):
+        """Parse one wave's chunks of a given type and push them as one
+        [B, n_pad] word matrix + [B, K] states (two transfers total)."""
+        parsed = [vrans.parse_chunk(pl, n) for pl in payloads]
+        kk = parsed[0][2]
+        if any(pk != kk for _, _, pk in parsed):
+            raise ValueError("inconsistent vrans stream counts in a wave")
+        _, n_pad = vrans.plan(n, kk)
+        mmax = max(w.size for w, _, _ in parsed)
+        m = vrans.bucket(max(mmax, 1), n_pad)
+        wb = np.zeros((len(parsed), m), np.uint16)
+        for i, (w, _, _) in enumerate(parsed):
+            wb[i, :w.size] = w
+        states = np.stack([st for _, st, _ in parsed])
+        words_dev = self._pad_cols(jnp.asarray(wb), n_pad=n_pad)
+        return words_dev, jnp.asarray(states), kk
+
+    def _decode_frames_device(self, chunks, prev, nxt, rate, k: int,
+                              frame_type: int):
+        """Decode a wave with on-device entropy decoding: pushes only the
+        compressed words; latents, sigma bins and references never leave
+        the device."""
+        p = self.params
+        if frame_type == FRAME_I:
+            pred = jnp.zeros((k, self.hp, self.wp, 3), jnp.float32)
+            skip = jnp.zeros_like(pred)
+        else:
+            n = self._n_z["mofnet"]
+            w, st, kk = self._push_chunk_batch(
+                [c["mofnet_z"] for c in chunks], n)
+            t = self.vr_z_dec["mofnet"]
+            z_qm = self._vrdec_z(
+                w, st, t, n=n, k=kk,
+                shape=(self.hz, self.wz, self.cfg.mofnet.nb_ft_z))
+            mu_m, bins_m = self._mof_hyper(p, z_qm)
+            n = self._n_y["mofnet"]
+            w, st, kk = self._push_chunk_batch(
+                [c["mofnet_y"] for c in chunks], n)
+            t = self.vr_y_dec
+            y_cqm = self._vrdec_y(
+                w, st, bins_m, t, n=n, k=kk,
+                shape=(self.hy, self.wy, self.cfg.mofnet.nb_ft_y))
+            mof = self._mof_synth(p, y_cqm, mu_m, prev, nxt, rate,
+                                  ftype=frame_type)
+            pred, skip = mof["pred"], mof["skip"]
+
+        n = self._n_z["codecnet"]
+        w, st, kk = self._push_chunk_batch(
+            [c["codecnet_z"] for c in chunks], n)
+        t = self.vr_z_dec["codecnet"]
+        z_qc = self._vrdec_z(
+            w, st, t, n=n, k=kk,
+            shape=(self.hz, self.wz, self.cfg.codecnet.nb_ft_z))
+        mu_c, bins_c = self._cod_hyper(p, z_qc)
+        n = self._n_y["codecnet"]
+        w, st, kk = self._push_chunk_batch(
+            [c["codecnet_y"] for c in chunks], n)
+        t = self.vr_y_dec
+        y_cqc = self._vrdec_y(
+            w, st, bins_c, t, n=n, k=kk,
+            shape=(self.hy, self.wy, self.cfg.codecnet.nb_ft_y))
+        planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip,
+                                             rate, ftype=frame_type)
+        return self._split_decoded(planes_dev, ref444, k)
+
     def decode_frames_batch(self, frame_bytes_list, prev_refs, next_refs,
-                            frame_type: int, idx_rate: float):
+                            frame_type: int, idx_rate: float,
+                            backend: Optional[str] = None):
         """Decode k same-type frames as one device batch.
 
         MUST be called with the same grouping the encoder used: XLA may
         round floats differently per batch size, so the wave grouping is
         part of the enc/dec determinism contract (both sides derive it
         from the GOP structure alone).
+
+        backend: which chunk format the bitstream carries ('device' |
+        'host'); defaults to this codec's encoding backend.  decode_video
+        passes the video header's flag, so either codec decodes either
+        format.
         """
         k = len(frame_bytes_list)
         p = self.params
@@ -516,6 +806,10 @@ class FrameCodec:
         nxt = self._stack_refs(next_refs)
         rate = jnp.float32(idx_rate)
         chunks = [bs.unpack_frame(fb) for fb in frame_bytes_list]
+
+        if (backend or self.backend) == "device":
+            return self._decode_frames_device(chunks, prev, nxt, rate, k,
+                                              frame_type)
 
         zshape_m = (self.hz, self.wz, self.cfg.mofnet.nb_ft_z)
         zshape_c = (self.hz, self.wz, self.cfg.codecnet.nb_ft_z)
@@ -557,10 +851,12 @@ class FrameCodec:
     def decode_frame(self, frame_bytes: bytes,
                      prev_ref: Optional[jax.Array],
                      next_ref: Optional[jax.Array],
-                     frame_type: int, idx_rate: float) -> "DecodedFrame":
+                     frame_type: int, idx_rate: float,
+                     backend: Optional[str] = None) -> "DecodedFrame":
         """Single-frame convenience wrapper over decode_frames_batch."""
         return self.decode_frames_batch(
-            [frame_bytes], [prev_ref], [next_ref], frame_type, idx_rate)[0]
+            [frame_bytes], [prev_ref], [next_ref], frame_type, idx_rate,
+            backend=backend)[0]
 
     # ------------------------------------------------------------------
     def video_header(self, nb_gop: int, idx_first: int, idx_last: int
@@ -568,4 +864,6 @@ class FrameCodec:
         return bs.VideoHeader(
             h_x=self.h, w_x=self.w, h_y=self.hy, w_y=self.wy,
             h_z=self.hz, w_z=self.wz, nb_gop=nb_gop,
-            idx_first_frame=idx_first, idx_last_frame=idx_last)
+            idx_first_frame=idx_first, idx_last_frame=idx_last,
+            backend=(bs.BACKEND_DEVICE if self.backend == "device"
+                     else bs.BACKEND_HOST))

@@ -218,6 +218,9 @@ def decode_video(codec: FrameCodec, data: bytes,
     header, gop_chunks = bs.unpack_video(data)
     decoded_all: Dict[int, DecodedFrame] = {}
     first_idx = header.idx_first_frame
+    # The chunk format is recorded in the video header, so any codec
+    # decodes any bitstream regardless of its own encoding backend.
+    backend = ("device" if header.backend == bs.BACKEND_DEVICE else "host")
 
     # All-Intra fast path mirror: regroup single-frame GOPs into the same
     # batches the encoder used (wave_batch must match).
@@ -231,7 +234,8 @@ def decode_video(codec: FrameCodec, data: bytes,
                 group = list(range(start, min(start + wave_batch, n)))
                 decs = codec.decode_frames_batch(
                     [frame_bytes[i] for i in group], [None] * len(group),
-                    [None] * len(group), 0, probe_header.idx_rate)
+                    [None] * len(group), 0, probe_header.idx_rate,
+                    backend=backend)
                 for i, dec in zip(group, decs):
                     decoded_all[first_idx + i] = dec
             return {k: v for k, v in decoded_all.items()
@@ -248,7 +252,7 @@ def decode_video(codec: FrameCodec, data: bytes,
                 [by_order[s.coding_order] for s in specs],
                 [_ref(decoded, s.prev_ref) for s in specs],
                 [_ref(decoded, s.next_ref) for s in specs],
-                ftype, gop_header.idx_rate)
+                ftype, gop_header.idx_rate, backend=backend)
             for spec, dec in zip(specs, decs):
                 decoded[spec.idx] = dec
         decoded_all.update({first_idx + k: v for k, v in decoded.items()})

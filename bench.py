@@ -63,7 +63,8 @@ def main():
 
     cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[model_name]
     _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
-    codec = FrameCodec(cfg, params, h, w)
+    backend = os.environ.get("BENCH_ENTROPY", "device")
+    codec = FrameCodec(cfg, params, h, w, entropy_backend=backend)
 
     n = gop_size + 1
     frames = synthetic_frames(n, h, w)

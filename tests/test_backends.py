@@ -1,0 +1,90 @@
+"""Cross-backend entropy coding: the video header's backend flag makes
+any codec decode any bitstream, and both backends are closed-loop exact."""
+
+import numpy as np
+import pytest
+
+from aivc_tpu.coding import bitstream as bs
+from aivc_tpu.config import CodingConfig
+from aivc_tpu.models.zoo import TINY, init_fullnet
+from aivc_tpu.pipeline.codec import FrameCodec
+from aivc_tpu.pipeline.video import decode_video, encode_video
+
+from tests.test_e2e import H, W, _assert_bit_exact, _synthetic_frames
+
+
+@pytest.fixture(scope="module")
+def params():
+    _, p = init_fullnet(TINY, spatial=64)
+    return p
+
+
+@pytest.fixture(scope="module")
+def codec_dev(params):
+    return FrameCodec(TINY, params, H, W, entropy_backend="device")
+
+
+@pytest.fixture(scope="module")
+def codec_host(params):
+    return FrameCodec(TINY, params, H, W, entropy_backend="host")
+
+
+def test_header_records_backend(codec_dev, codec_host):
+    assert codec_dev.video_header(1, 0, 0).backend == bs.BACKEND_DEVICE
+    assert codec_host.video_header(1, 0, 0).backend == bs.BACKEND_HOST
+    hdr = codec_dev.video_header(3, 0, 8)
+    assert bs.VideoHeader.unpack(hdr.pack()) == hdr
+
+
+def test_device_bitstream_decoded_by_host_codec(codec_dev, codec_host):
+    frames = _synthetic_frames(5)
+    cfg = CodingConfig(coding_config="RA", gop_size=4, intra_period=4)
+    res = encode_video(codec_dev, frames, cfg)
+    # A codec configured for host *encoding* still decodes device chunks:
+    # the format flag travels in the video header.
+    dec = decode_video(codec_host, res.bitstream)
+    _assert_bit_exact(res, dec)
+
+
+def test_host_bitstream_decoded_by_device_codec(codec_dev, codec_host):
+    frames = _synthetic_frames(5)
+    cfg = CodingConfig(coding_config="LDP", intra_period=4)
+    res = encode_video(codec_host, frames, cfg)
+    dec = decode_video(codec_dev, res.bitstream)
+    _assert_bit_exact(res, dec)
+
+
+def test_backends_reconstruct_identically(codec_dev, codec_host):
+    """Entropy coding is lossless, so the decoded pixels must be
+    IDENTICAL between backends (only the chunk bytes differ)."""
+    frames = _synthetic_frames(3)
+    cfg = CodingConfig(coding_config="LDP", intra_period=2)
+    res_d = encode_video(codec_dev, frames, cfg)
+    res_h = encode_video(codec_host, frames, cfg)
+    assert set(res_d.decoded_frames) == set(res_h.decoded_frames)
+    for idx in res_d.decoded_frames:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                res_d.decoded_frames[idx][k], res_h.decoded_frames[idx][k])
+    # Same number of frames/GOPs, different chunk encodings.
+    assert len(res_d.frame_results) == len(res_h.frame_results)
+
+
+def test_device_backend_debug_selfcheck(params):
+    """Debug mode roundtrips every device-coded chunk and raises on any
+    mismatch (reference: bitstream.py:332-350 'Ok!/Ko!' self-check)."""
+    codec = FrameCodec(TINY, params, H, W, debug=True,
+                       entropy_backend="device")
+    frames = _synthetic_frames(3)
+    cfg = CodingConfig(coding_config="LDP", intra_period=2)
+    res = encode_video(codec, frames, cfg)
+    dec = decode_video(codec, res.bitstream)
+    _assert_bit_exact(res, dec)
+
+
+def test_wave_batched_device_backend(codec_dev):
+    frames = _synthetic_frames(9)
+    cfg = CodingConfig(coding_config="RA", gop_size=8, intra_period=8)
+    res = encode_video(codec_dev, frames, cfg, wave_batch=4)
+    dec = decode_video(codec_dev, res.bitstream, wave_batch=4)
+    _assert_bit_exact(res, dec)

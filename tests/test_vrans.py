@@ -1,0 +1,206 @@
+"""Device-side vectorized rANS: losslessness, rate, format properties."""
+
+import numpy as np
+import pytest
+
+from aivc_tpu.coding import vrans
+from aivc_tpu.coding.cdf import N_SYMBOLS, build_laplace_table, quantize_pmf
+
+
+def _rand_cdf_rows(rng, n_rows, scale=vrans.PROB_SCALE, skew=1.0):
+    """Random quantized CDF rows; skew > 1 concentrates mass."""
+    pmf = rng.random((n_rows, N_SYMBOLS)) ** skew
+    return quantize_pmf(pmf, scale)
+
+
+def _roundtrip(vals, rows, cdf_rows):
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    payload = vrans.encode_chunk(vals, rows, enc)
+    out = vrans.decode_chunk(payload, rows, dec)
+    return payload, out
+
+
+@pytest.mark.parametrize("n", [1, 7, 8, 63, 257, 4096, 10000])
+def test_roundtrip_uniform_random(n):
+    rng = np.random.default_rng(n)
+    cdf_rows = _rand_cdf_rows(rng, 5)
+    vals = rng.integers(0, N_SYMBOLS, size=n).astype(np.int32)
+    rows = rng.integers(0, 5, size=n).astype(np.int32)
+    payload, out = _roundtrip(vals, rows, cdf_rows)
+    np.testing.assert_array_equal(out, vals)
+
+
+def test_roundtrip_extreme_skew():
+    """Rows where one symbol holds nearly all mass and the rest are at the
+    minimum frequency 1 — the adversarial case for renorm logic."""
+    rng = np.random.default_rng(0)
+    pmf = np.full((3, N_SYMBOLS), 1e-12)
+    pmf[0, 0] = 1.0
+    pmf[1, N_SYMBOLS - 1] = 1.0
+    pmf[2, 123] = 1.0
+    cdf_rows = quantize_pmf(pmf, vrans.PROB_SCALE)
+    n = 5000
+    # Code mostly rare symbols (freq == 1): worst-case emission rate.
+    vals = rng.integers(0, N_SYMBOLS, size=n).astype(np.int32)
+    rows = rng.integers(0, 3, size=n).astype(np.int32)
+    payload, out = _roundtrip(vals, rows, cdf_rows)
+    np.testing.assert_array_equal(out, vals)
+    # freq-1 symbols cost PROB_BITS bits each; total must stay near that.
+    assert len(payload) < n * 2.5 + 8 * vrans.pick_k(n)
+
+
+def test_roundtrip_most_probable_only():
+    """All symbols maximally probable: output should be tiny."""
+    pmf = np.full((1, N_SYMBOLS), 1e-12)
+    pmf[0, 42] = 1.0
+    cdf_rows = quantize_pmf(pmf, vrans.PROB_SCALE)
+    n = 8192
+    vals = np.full(n, 42, np.int32)
+    rows = np.zeros(n, np.int32)
+    payload, out = _roundtrip(vals, rows, cdf_rows)
+    np.testing.assert_array_equal(out, vals)
+    k = vrans.pick_k(n)
+    # ~0.045 bits/sym + per-stream state overhead
+    assert len(payload) < n * 0.05 / 8 + 4 * k + 64 + 2 * k
+
+
+def test_rate_close_to_entropy():
+    """Compressed size within a few percent of the coded entropy."""
+    rng = np.random.default_rng(7)
+    cdf_rows = build_laplace_table(scale=vrans.PROB_SCALE)
+    n = 1 << 16
+    rows = rng.integers(20, 40, size=n).astype(np.int32)
+    freq = np.diff(cdf_rows.astype(np.int64), axis=1)
+    # Sample symbols from each row's true coded distribution.
+    vals = np.empty(n, np.int32)
+    for r in np.unique(rows):
+        m = rows == r
+        p = freq[r] / freq[r].sum()
+        vals[m] = rng.choice(N_SYMBOLS, size=m.sum(), p=p)
+    payload, out = _roundtrip(vals, rows, cdf_rows)
+    np.testing.assert_array_equal(out, vals)
+    h_bits = -np.log2(freq[rows, vals] / float(vrans.PROB_SCALE)).sum()
+    k = vrans.pick_k(n)
+    overhead = 4 * k + 5
+    assert len(payload) - overhead < h_bits / 8 * 1.02 + 2 * k
+
+
+def test_k_policy_and_header():
+    assert vrans.pick_k(0) == vrans.K_MIN
+    assert vrans.pick_k(100) == vrans.K_MIN
+    assert vrans.pick_k(1 << 20) == vrans.K_MAX
+    ks = [vrans.pick_k(n) for n in range(1, 200000, 4096)]
+    assert all(k & (k - 1) == 0 for k in ks)
+    assert ks == sorted(ks)  # monotone in n
+
+    rng = np.random.default_rng(3)
+    cdf_rows = _rand_cdf_rows(rng, 2)
+    vals = rng.integers(0, N_SYMBOLS, size=999).astype(np.int32)
+    rows = rng.integers(0, 2, size=999).astype(np.int32)
+    enc = vrans.make_enc_tables(cdf_rows)
+    payload = vrans.encode_chunk(vals, rows, enc)
+    words, states, k = vrans.parse_chunk(payload, 999)
+    assert k == vrans.pick_k(999)
+    assert states.shape == (k,)
+    assert len(payload) == 5 + 4 * k + 2 * len(words)
+
+
+def test_truncated_chunk_raises():
+    rng = np.random.default_rng(4)
+    cdf_rows = _rand_cdf_rows(rng, 2)
+    vals = rng.integers(0, N_SYMBOLS, size=500).astype(np.int32)
+    rows = np.zeros(500, np.int32)
+    enc = vrans.make_enc_tables(cdf_rows)
+    payload = vrans.encode_chunk(vals, rows, enc)
+    with pytest.raises(ValueError):
+        vrans.parse_chunk(payload[:-3], 500)
+
+
+def test_explicit_k_override_roundtrips():
+    """Any power-of-two K in range must roundtrip (policy independence)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    cdf_rows = _rand_cdf_rows(rng, 4, skew=3.0)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    n = 3000
+    vals = rng.integers(0, N_SYMBOLS, size=n).astype(np.int32)
+    rows = rng.integers(0, 4, size=n).astype(np.int32)
+    for k in (8, 64, 512):
+        h = vrans.encode_launch(jnp.asarray(vals), jnp.asarray(rows),
+                                enc, n, k=k)
+        payload = vrans.encode_finish(h)
+        out = vrans.decode_chunk(payload, rows, dec)
+        np.testing.assert_array_equal(out, vals)
+
+
+def test_laplace_table_parity_with_host_scale():
+    """The 2^14-scale Laplace table stays a valid distribution per row."""
+    t = build_laplace_table(scale=vrans.PROB_SCALE)
+    assert t.shape[1] == N_SYMBOLS + 1
+    assert (t[:, -1] == vrans.PROB_SCALE).all()
+    assert (np.diff(t.astype(np.int64), axis=1) >= 1).all()
+
+
+def test_gather_and_matmul_methods_bit_identical():
+    """The one-hot-matmul lookup and the gather lookup must produce
+    IDENTICAL bitstreams and decodes (platform choice never changes bits)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    cdf_rows = _rand_cdf_rows(rng, 7, skew=2.0)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    n = 5000
+    vals = rng.integers(0, N_SYMBOLS, size=n).astype(np.int32)
+    rows = rng.integers(0, 7, size=n).astype(np.int32)
+    k = vrans.pick_k(n)
+
+    payloads = {}
+    for method in ("gather", "matmul"):
+        buf, states, total = vrans._encode_core(
+            jnp.asarray(vals), jnp.asarray(rows), enc,
+            n=n, k=k, n_sym=N_SYMBOLS, pad_sym=enc.pad_sym, method=method)
+        payloads[method] = vrans.serialize_chunk(
+            k, np.asarray(states), np.asarray(buf)[:int(total)])
+    assert payloads["gather"] == payloads["matmul"]
+
+    words, states, kk = vrans.parse_chunk(payloads["gather"], n)
+    _, n_pad = vrans.plan(n, kk)
+    w = np.zeros(n_pad, np.uint16)
+    w[:len(words)] = words
+    for method in ("gather", "matmul"):
+        out = vrans._decode_core(
+            jnp.asarray(w), jnp.asarray(states), jnp.asarray(rows), dec,
+            n=n, k=kk, n_sym=N_SYMBOLS, method=method)
+        np.testing.assert_array_equal(np.asarray(out), vals)
+
+
+def test_pallas_kernel_interpret_matches_gather():
+    """The Pallas decode kernel (interpret mode, runs on CPU) must produce
+    the same symbols as the gather method — validates the kernel logic
+    (one-hot matmul lookup, window word feed, rank prefix sums) without
+    TPU hardware."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(21)
+    cdf_rows = build_laplace_table(scale=vrans.PROB_SCALE)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    n = 4000
+    k = vrans._SUB * 128
+    vals = rng.integers(180, 332, size=n).astype(np.int32)
+    rows = rng.integers(0, cdf_rows.shape[0], size=n).astype(np.int32)
+    h = vrans.encode_launch(jnp.asarray(vals), jnp.asarray(rows), enc, n, k=k)
+    payload = vrans.encode_finish(h)
+    words, states, kk = vrans.parse_chunk(payload, n)
+    assert kk == k
+    _, n_pad = vrans.plan(n, k)
+    w = np.zeros((1, n_pad), np.uint16)
+    w[0, :words.size] = words
+    out = vrans.decode_pallas_batch(
+        jnp.asarray(w), jnp.asarray(states)[None], jnp.asarray(rows)[None],
+        dec.cdf512_f32, n=n, k=k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out)[0], vals)
