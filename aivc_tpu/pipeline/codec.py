@@ -63,17 +63,37 @@ def pad_to_multiple(x: np.ndarray, mult: int) -> np.ndarray:
 
 class _BatchPlanes:
     """Batched device planes of one coded wave, pulled to host lazily and
-    only once for all frames of the wave."""
+    only once for all frames of the wave.
 
-    __slots__ = ("_dev", "_host")
+    The device side hands over ONE packed uint8 buffer [k, y+u+v bytes]
+    (plus the plane shapes), so archiving a wave costs a single
+    device->host transfer instead of three."""
 
-    def __init__(self, planes_dev):
-        self._dev = planes_dev
+    __slots__ = ("_dev", "_shapes", "_host")
+
+    def __init__(self, packed_dev, shapes):
+        self._dev = packed_dev
+        self._shapes = shapes
         self._host = None
+
+    @classmethod
+    def from_host_planes(cls, planes):
+        self = cls(None, None)
+        self._host = planes
+        return self
 
     def host(self) -> Dict[str, np.ndarray]:
         if self._host is None:
-            self._host = {k: np.asarray(v) for k, v in self._dev.items()}
+            flat = np.asarray(self._dev)
+            (hy_, wy_), (hc, wc) = self._shapes
+            ny = hy_ * wy_
+            nc = hc * wc
+            k = flat.shape[0]
+            self._host = {
+                "y": flat[:, :ny].reshape(k, hy_, wy_, 1),
+                "u": flat[:, ny:ny + nc].reshape(k, hc, wc, 1),
+                "v": flat[:, ny + nc:].reshape(k, hc, wc, 1),
+            }
             self._dev = None
         return self._host
 
@@ -107,9 +127,8 @@ class DecodedFrame:
     def from_host(cls, planes: Dict[str, np.ndarray],
                   ref: Optional[jax.Array] = None) -> "DecodedFrame":
         """Build from already-materialized host planes ([H, W] uint8)."""
-        batch = _BatchPlanes({k: v[None, :, :, None] for k, v in planes.items()})
-        batch._host = batch._dev
-        batch._dev = None
+        batch = _BatchPlanes.from_host_planes(
+            {k: v[None, :, :, None] for k, v in planes.items()})
         return cls(batch, 0, ref)
 
 
@@ -218,7 +237,9 @@ class FrameCodec:
             """Crop to true size, 444->420, quantize to 256 levels
             (reference cast_before_png_saving, img_processing.py:31-75),
             and rebuild the padded 444 reference from the quantized planes
-            so future frames predict from exactly what the decoder has."""
+            so future frames predict from exactly what the decoder has.
+            Output planes are packed into one uint8 buffer per frame so
+            the host archives a wave with a single transfer."""
             yf, uf, vf = x444_to_yuv420(x444)
             yf = yf[:, : self.h, : self.w, :]
             uf = uf[:, : self.h_uv, : self.w_uv, :]
@@ -228,7 +249,11 @@ class FrameCodec:
                 out[k] = jnp.clip(jnp.round(jnp.clip(p, 0.0, 1.0) * 255.0),
                                   0, 255).astype(jnp.uint8)
             ref444 = _pad_ref_from_planes(out["y"], out["u"], out["v"])
-            return out, ref444
+            B = x444.shape[0]
+            packed = jnp.concatenate(
+                [out["y"].reshape(B, -1), out["u"].reshape(B, -1),
+                 out["v"].reshape(B, -1)], axis=1)
+            return packed, ref444
 
         cast_yuv = jax.jit(_cast_body)
 
@@ -392,10 +417,6 @@ class FrameCodec:
                 (1, self.hp, self.wp, 3), jnp.float32)
         return self._zero_ref_cache
 
-    @staticmethod
-    def _to_host_u8(planes: Dict[str, jax.Array]) -> Dict[str, np.ndarray]:
-        return {k: np.asarray(v)[0, :, :, 0] for k, v in planes.items()}
-
     # ------------------------------------------------------------------
     # Chunk coding with optional debug self-verification
     # ------------------------------------------------------------------
@@ -446,8 +467,9 @@ class FrameCodec:
         arrs = [r if r is not None else self._zero_ref() for r in refs]
         return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, axis=0)
 
-    def _split_decoded(self, planes_dev, ref444, k: int):
-        batch = _BatchPlanes(planes_dev)
+    def _split_decoded(self, packed_dev, ref444, k: int):
+        batch = _BatchPlanes(packed_dev,
+                             ((self.h, self.w), (self.h_uv, self.w_uv)))
         if k == 1:
             return [DecodedFrame(batch, 0, ref444)]
         return [DecodedFrame(batch, i, ref444[i:i + 1]) for i in range(k)]
