@@ -93,13 +93,15 @@ def msssim(img1: jax.Array, img2: jax.Array, val_range: float = 1.0) -> jax.Arra
         mcs.append(cs)
         img1 = _avg_pool2(_reflect_pad_to_even(img1))
         img2 = _avg_pool2(_reflect_pad_to_even(img2))
-    # Clamp at 0: negative contrast terms (possible for heavily distorted
-    # images) would otherwise produce NaN under the fractional powers.  The
-    # reference exposes the same hazard behind its 'normalize' flag
-    # (ms_ssim.py:130-134); clamping only affects inputs whose MS-SSIM is
-    # meaningless anyway.
-    mssim_t = jnp.maximum(jnp.stack(mssim), 0.0)
-    mcs_t = jnp.maximum(jnp.stack(mcs), 0.0)
+    # Clamp before the fractional powers: negative contrast terms
+    # (possible for heavily distorted images) would produce NaN, and a
+    # clamp at exactly 0 still yields an infinite pow-gradient (d x^w at
+    # x=0), NaN-ing training with the MS-SSIM loss.  The epsilon floor
+    # keeps gradients finite and leaves any sane input's value unchanged.
+    # The reference exposes the same hazard behind its 'normalize' flag
+    # (ms_ssim.py:130-134).
+    mssim_t = jnp.maximum(jnp.stack(mssim), 1e-4)
+    mcs_t = jnp.maximum(jnp.stack(mcs), 1e-4)
     pow1 = mcs_t ** weights
     pow2 = mssim_t ** weights
     # prod(pow1[:-1]) * pow2[-1], the CLIC-aligned form (ms_ssim.py:139-148)

@@ -61,7 +61,8 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
         nxt = recon.get(spec.next_ref, zeros) if spec.next_ref is not None else zeros
 
         x_hat, aux = model.apply(
-            params, frame, prev, nxt, float(idx_rate), spec.frame_type,
+            params, frame, prev, nxt,
+            jnp.asarray(idx_rate, jnp.float32), spec.frame_type,
             training, rng_f, method=FullNet.forward_frame)
         recon[spec.idx] = x_hat
 

@@ -32,16 +32,23 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
     """Build a jitted train step over a fixed GOP structure.
 
     The returned step has signature
-      (params, opt_state, frames [n, B, H, W, 3], idx_rate: int, rng)
+      (params, opt_state, frames [n, B, H, W, 3], idx_rate, rng)
       -> (params, opt_state, logs)
-    idx_rate is static (one compiled program per trained rate index, as
-    each has its own lambda).
+    idx_rate is TRACED (integer scalar): the gain selection uses
+    dynamic indexing and lambda is gathered from the ladder, so all rate
+    points share ONE compiled program (7 separate multi-minute remote
+    compiles otherwise).
     """
     dist = dist_loss or cfg.dist_loss
+    lambda_tuple = tuple(float(v) for v in cfg.lambda_tradeoff)
 
-    @functools.partial(jax.jit, static_argnames=("idx_rate",))
-    def train_step(params, opt_state, frames, idx_rate: int, rng):
-        lam = cfg.lambda_tradeoff[idx_rate]
+    @jax.jit
+    def train_step(params, opt_state, frames, idx_rate, rng):
+        # Built inside the trace: a module-level/closure jnp array would be
+        # a committed device buffer, which blocks XLA scan optimizations
+        # (see coding/vrans.py note).
+        lambdas = jax.numpy.asarray(lambda_tuple, jax.numpy.float32)
+        lam = lambdas[jax.numpy.asarray(idx_rate, jax.numpy.int32)]
 
         def loss_fn(p):
             frame_list = [frames[i] for i in range(frames.shape[0])]

@@ -30,27 +30,57 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _texture(rng: np.random.Generator, size: int, margin: int):
+    """One static RGB texture [size+2m, size+2m, 3]: 1/f-ish filtered noise
+    + sinusoid detail, per-channel correlated like natural images."""
+    s2 = size + 2 * margin
+    # spectral shaping: white noise -> 1/f amplitude falloff
+    noise = rng.normal(size=(s2, s2))
+    f = np.fft.fftfreq(s2)
+    rad = np.sqrt(f[:, None] ** 2 + f[None, :] ** 2) + 1.0 / s2
+    spec = np.fft.fft2(noise) / (rad ** rng.uniform(0.8, 1.6))
+    luma = np.real(np.fft.ifft2(spec))
+    luma = (luma - luma.min()) / max(float(np.ptp(luma)), 1e-6)
+    # mild chroma variation around the luma (natural-video-like)
+    tex = np.stack([
+        luma,
+        np.clip(luma * rng.uniform(0.6, 1.0) + rng.uniform(0.0, 0.3), 0, 1),
+        np.clip(luma * rng.uniform(0.6, 1.0) + rng.uniform(0.0, 0.3), 0, 1),
+    ], axis=-1).astype(np.float32)
+    return tex
+
+
 def make_batch(rng: np.random.Generator, n_frames: int, batch: int, size: int):
-    """[n_frames, B, size, size, 3] float32 moving-texture clips."""
+    """[n_frames, B, size, size, 3] float32 clips with natural-ish
+    statistics: a 1/f-textured background under global translation plus a
+    foreground patch with independent motion (occlusion/disocclusion), so
+    MOFNet's flows, alpha mask and beta blending all get training signal.
+    """
+    margin = 16
     out = np.empty((n_frames, batch, size, size, 3), np.float32)
-    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
     for b in range(batch):
-        n_waves = 6
-        fx = rng.uniform(0.02, 0.35, (3, n_waves))
-        fy = rng.uniform(0.02, 0.35, (3, n_waves))
-        ph = rng.uniform(0, 6.28, (3, n_waves))
-        amp = rng.uniform(0.05, 0.4, (3, n_waves))
-        vx, vy = rng.uniform(-2.5, 2.5, 2)
+        bg = _texture(rng, size, margin)
+        fg = _texture(rng, size, margin)
+        # foreground ellipse mask
+        cy, cx = rng.uniform(0.25, 0.75, 2) * size
+        ry, rx = rng.uniform(0.12, 0.3, 2) * size
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
+        vbg = rng.uniform(-2.0, 2.0, 2)
+        vfg = rng.uniform(-3.0, 3.0, 2)
         for t in range(n_frames):
-            for c in range(3):
-                acc = np.zeros((size, size), np.float32)
-                for w in range(n_waves):
-                    acc += amp[c, w] * np.sin(
-                        fx[c, w] * (xx + vx * t) + fy[c, w] * (yy + vy * t)
-                        + ph[c, w])
-                out[t, b, :, :, c] = acc
-    out = (out - out.min()) / max(float(np.ptp(out)), 1e-6)
-    return out
+            oy, ox = margin + vbg[0] * t, margin + vbg[1] * t
+            iy = np.clip((yy + oy).astype(np.int32), 0, size + 2 * margin - 1)
+            ix = np.clip((xx + ox).astype(np.int32), 0, size + 2 * margin - 1)
+            frame = bg[iy, ix]
+            fy_, fx_ = margin + vfg[0] * t, margin + vfg[1] * t
+            jy = np.clip((yy + fy_).astype(np.int32), 0, size + 2 * margin - 1)
+            jx = np.clip((xx + fx_).astype(np.int32), 0, size + 2 * margin - 1)
+            mask = ((((yy - cy - vfg[0] * t) / ry) ** 2
+                     + ((xx - cx - vfg[1] * t) / rx) ** 2) < 1.0)[..., None]
+            out[t, b] = np.where(mask, fg[jy, jx], frame)
+    # light sensor noise so rate never collapses to zero
+    out = np.clip(out + rng.normal(scale=0.004, size=out.shape), 0.0, 1.0)
+    return out.astype(np.float32)
 
 
 def main():
@@ -58,29 +88,38 @@ def main():
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--model", default="tiny", choices=["tiny", "base"])
+    ap.add_argument("--model", default="tiny",
+                    choices=["tiny", "base", "bf16"])
     ap.add_argument("--gop", default="1_GOP_2")
     ap.add_argument("--lr", type=float, default=1e-4)
     ap.add_argument("--out", default="")
+    ap.add_argument("--resume", default="",
+                    help="checkpoint dir to initialize params from")
+    ap.add_argument("--save_every", type=int, default=0,
+                    help="also save a checkpoint every N steps")
     ap.add_argument("--dist", default="mse")
+    ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
     args = ap.parse_args()
 
     from aivc_tpu.config import ModelConfig
     from aivc_tpu.gop import generate_gop_struct
-    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.models.zoo import BASE_BF16, TINY, init_fullnet
     from aivc_tpu.train.trainer import make_optimizer, make_train_step
-    from aivc_tpu.utils.checkpoint import save_checkpoint
+    from aivc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    cfg = TINY if args.model == "tiny" else ModelConfig()
+    cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[args.model]
     model, params = init_fullnet(cfg)
+    if args.resume:
+        cfg_loaded, params = load_checkpoint(args.resume)
+        print(f"resumed params from {args.resume} ({cfg_loaded.name})")
     gop = generate_gop_struct(args.gop)
     opt = make_optimizer(args.lr)
     opt_state = opt.init(params)
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist)
 
-    rng_np = np.random.default_rng(0)
-    rng = jax.random.PRNGKey(0)
+    rng_np = np.random.default_rng(args.seed)
+    rng = jax.random.PRNGKey(args.seed)
     n_rates = len(cfg.lambda_tradeoff)
 
     t0 = time.time()
@@ -97,6 +136,9 @@ def main():
                   f"bpp {float(logs['rate_bpp']):.4f}  "
                   f"gnorm {float(logs['grad_norm']):.2f}  "
                   f"({(time.time() - t0):.0f}s)", flush=True)
+        if args.out and args.save_every and step and step % args.save_every == 0:
+            save_checkpoint(args.out, cfg, params)
+            print(f"checkpoint @ step {step} -> {args.out}", flush=True)
 
     if args.out:
         save_checkpoint(args.out, cfg, params)
