@@ -73,3 +73,87 @@ def test_two_process_jax_distributed(tmp_path):
     for i, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"proc {i} failed:\n{out[-2000:]}"
         assert f"proc {i} total 32.0" in out
+
+
+GOP_WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, %(repo)r)
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(
+        coordinator_address="127.0.0.1:%(port)d",
+        num_processes=2,
+        process_id=int(sys.argv[1]),
+    )
+    import numpy as np
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.parallel.multihost import encode_video_multihost
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import encode_video
+
+    H, W, N = 48, 64, 9
+    rng = np.random.default_rng(7)   # same seed on every process
+    frames = []
+    for t in range(N):
+        y = rng.integers(0, 255, (H, W), dtype=np.uint8)
+        frames.append({
+            "y": y,
+            "u": y[::2, ::2] // 2 + 40,
+            "v": 200 - y[::2, ::2] // 2,
+        })
+
+    _, params = init_fullnet(TINY, jax.random.PRNGKey(0), spatial=64)
+    codec = FrameCodec(TINY, params, H, W)
+    coding = CodingConfig(coding_config="RA", gop_size=4, intra_period=4)
+
+    dist_bits = encode_video_multihost(codec, frames, coding, wave_batch=2)
+
+    if jax.process_index() == 0:
+        # GOP sharding must be invisible: identical bytes to a
+        # single-host encode of the same input with the same codec.
+        ref = encode_video(codec, frames, coding, wave_batch=2)
+        assert dist_bits == ref.bitstream, (
+            f"distributed bitstream differs "
+            f"({len(dist_bits)} vs {len(ref.bitstream)} bytes)")
+        from aivc_tpu.pipeline.video import decode_video
+        dec = decode_video(codec, dist_bits, wave_batch=2)
+        for idx in dec:
+            for k in ("y", "u", "v"):
+                assert np.array_equal(dec[idx][k],
+                                      ref.decoded_frames[idx][k])
+        print("multihost gop sharding ok", flush=True)
+    else:
+        assert dist_bits is not None and len(dist_bits) > 20
+        print("proc 1 done", flush=True)
+""")
+
+
+@pytest.mark.slow
+def test_multihost_gop_sharding_bit_exact(tmp_path):
+    """Two processes each encode half the GOPs; the muxed bitstream must
+    be byte-identical to a single-host encode (SURVEY.md §2.5: GOP-level
+    data parallelism with host-0 mux)."""
+    port = 29661
+    script = tmp_path / "gop_worker.py"
+    script.write_text(GOP_WORKER % {"port": port, "repo": str(REPO)})
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen([sys.executable, str(script), str(i)],
+                         cwd=REPO, env=env, stdout=subprocess.PIPE,
+                         stderr=subprocess.STDOUT, text=True)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("gop-sharding workers timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i} failed:\n{out[-3000:]}"
+    assert "multihost gop sharding ok" in outs[0]
