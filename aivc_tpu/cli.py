@@ -48,6 +48,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wave_batch", type=int, default=1,
                    help="code temporal waves as device batches of up to N "
                         "frames (must match between encode and decode)")
+    p.add_argument("--entropy_backend", default="device",
+                   choices=["device", "host"],
+                   help="latent entropy coder for ENCODING: on-accelerator "
+                        "vectorized rANS (device) or the host C rANS; "
+                        "decoding always honours the bitstream's header")
     return p
 
 
@@ -107,7 +112,8 @@ def main(argv=None) -> int:
 
     decoded = None
     if args.mode in ("all", "encode"):
-        codec = FrameCodec(cfg, params, h, w, debug=args.bitstream_debug)
+        codec = FrameCodec(cfg, params, h, w, debug=args.bitstream_debug,
+                           entropy_backend=args.entropy_backend)
         t0 = time.time()
         res = encode_video(codec, frames, coding, wave_batch=args.wave_batch)
         dt = time.time() - t0

@@ -50,7 +50,7 @@ quantize_pmf with scale=PROB_SCALE), packed for single-gather access:
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -181,13 +181,18 @@ def _row_cdf(r: jax.Array, cdf_f32: jax.Array) -> jax.Array:
 
 def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
                 n: int, k: int, n_sym: int, pad_sym: int,
-                method: str = "auto"):
+                method: str = "auto", segment_steps: tuple = ()):
     """sym, rows: i32 [n] (symbol in [0, n_sym), CDF row per element).
 
     Returns (words u16 [n_pad], states u32 [K], total i32 scalar): the
     compacted word stream in decode order, final stream states, and the
     real word count (words[total:] is garbage).  Traceable (not jitted):
     callers fuse it into larger programs or vmap it over a batch.
+
+    segment_steps: optional static step counts partitioning the stream
+    (sum == S).  When given, a fourth output reports the word count of
+    each segment — used by the frame-fused format, where one stream
+    carries several chunks decoded in stages.
     """
     if method == "auto":
         method = _default_method()
@@ -266,19 +271,33 @@ def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
     out0 = jnp.zeros((n_pad + k,), jnp.uint16)
     (buf, total), _ = jax.lax.scan(pack_step, (out0, jnp.int32(0)),
                                    (words, flags))
+    if segment_steps:
+        if sum(segment_steps) != s_steps:
+            raise ValueError("segment_steps must sum to the step count")
+        per_step = flags.astype(jnp.int32).sum(axis=1)
+        seg_words = []
+        pos = 0
+        for ss in segment_steps:
+            seg_words.append(per_step[pos:pos + ss].sum())
+            pos += ss
+        return buf[:n_pad], states, total, jnp.stack(seg_words)
     return buf[:n_pad], states, total
 
 
 _encode_core = jax.jit(
-    encode_impl, static_argnames=("n", "k", "n_sym", "pad_sym", "method"))
+    encode_impl,
+    static_argnames=("n", "k", "n_sym", "pad_sym", "method",
+                     "segment_steps"))
 
 
 def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
                 tables: DecTables, n: int, k: int, n_sym: int,
-                method: str = "auto"):
+                method: str = "auto", g0=0, return_carry: bool = False):
     """words: u16 [>= total]; states: u32 [K]; rows: i32 [n].
 
-    Returns symbols i32 [n].  Traceable (not jitted); see encode_impl.
+    Returns symbols i32 [n] (plus (states, g) when return_carry, for
+    staged decoding of a fused stream: each stage resumes where the
+    previous one stopped).  Traceable (not jitted); see encode_impl.
     """
     if method == "auto":
         method = _default_method()
@@ -315,12 +334,17 @@ def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
         x = jnp.where(need, (x << 16) | w, x)
         return (x, g + need_i.sum()), s
 
-    (xf, _), syms = jax.lax.scan(step, (states, jnp.int32(0)), rows2)
-    return syms.reshape(n_pad)[:n]
+    (xf, gf), syms = jax.lax.scan(
+        step, (states, jnp.asarray(g0, jnp.int32)), rows2)
+    syms = syms.reshape(n_pad)[:n]
+    if return_carry:
+        return syms, xf, gf
+    return syms
 
 
-_decode_core = jax.jit(decode_impl,
-                       static_argnames=("n", "k", "n_sym", "method"))
+_decode_core = jax.jit(
+    decode_impl,
+    static_argnames=("n", "k", "n_sym", "method", "return_carry"))
 
 
 # ---------------------------------------------------------------------------
@@ -348,14 +372,14 @@ _SUB = 8          # sublanes per state tile; K = _SUB * 128
 _WIN_ROWS = 24    # window rows: >= K/128 + 16 (u16 sublane alignment)
 
 
-def _decode_pallas_kernel(rows_ref, words_ref, states_ref, cdf_ref,
-                          out_ref, x_ref, g_ref):
+def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
+                          out_ref, states_out_ref, g_out_ref, x_ref, g_ref):
     t = pl.program_id(1)
 
     @pl.when(t == 0)
     def _():
         x_ref[:] = states_ref[0]
-        g_ref[0] = 0
+        g_ref[0] = g0_ref[0, 0]
 
     x = x_ref[:]                                     # [8, 128] u32
     slot = x & _SLOT_MASK
@@ -437,6 +461,11 @@ def _decode_pallas_kernel(rows_ref, words_ref, states_ref, cdf_ref,
     g_ref[0] = g + jnp.sum(need_i)
     out_ref[0] = s
 
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        states_out_ref[0] = x_ref[:]
+        g_out_ref[0, 0] = g_ref[0]
+
 
 def _pallas_ok(n: int, k: int) -> bool:
     if k != _SUB * 128:
@@ -449,13 +478,15 @@ def _pallas_ok(n: int, k: int) -> bool:
 
 def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
                  tables: DecTables, n: int, k: int,
-                 method: str = "auto") -> jax.Array:
-    """Decode a batch of chunks: words [B, >= n_pad] u16, states [B, K],
+                 method: str = "auto", g0: Optional[jax.Array] = None,
+                 return_carry: bool = False):
+    """Decode a batch of chunks: words [B, >= needed] u16, states [B, K],
     rows [B, n] i32 -> symbols i32 [B, n].
 
     method 'auto' picks the Pallas kernel on TPU when the chunk fits in
     VMEM, the XLA matmul scan otherwise, and gathers on CPU.  All methods
-    are bit-identical.
+    are bit-identical.  g0/return_carry support staged decoding of a
+    fused frame stream (see decode_impl).
     """
     if method == "auto":
         if jax.default_backend() == "tpu" and _pallas_ok(n, k):
@@ -464,34 +495,46 @@ def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
             method = _default_method()
     if method == "pallas":
         return decode_pallas_batch(words, states, rows, tables.cdf512_f32,
-                                   n=n, k=k)
-    return jax.vmap(lambda w, st, r: decode_impl(
+                                   n=n, k=k, g0=g0,
+                                   return_carry=return_carry)
+    if g0 is None:
+        g0 = jnp.zeros((words.shape[0],), jnp.int32)
+    return jax.vmap(lambda w, st, r, g: decode_impl(
         w, st, r, tables, n=n, k=k, n_sym=tables.n_symbols,
-        method=method))(words, states, rows)
+        method=method, g0=g, return_carry=return_carry)
+    )(words, states, rows, jnp.asarray(g0, jnp.int32))
 
 
 def decode_pallas_batch(words: jax.Array, states: jax.Array,
                         rows: jax.Array, cdf512_f32: jax.Array,
-                        n: int, k: int, interpret: bool = False):
-    """Batched Pallas decode: words [B, n_pad] u16, states [B, K] u32,
-    rows [B, n] i32 -> symbols i32 [B, n]."""
-    from jax.experimental import pallas as pl_  # noqa: F401 (import check)
+                        n: int, k: int, interpret: bool = False,
+                        g0: Optional[jax.Array] = None,
+                        return_carry: bool = False):
+    """Batched Pallas decode: words [B, >= n_pad words from offset 0] u16,
+    states [B, K] u32, rows [B, n] i32 -> symbols i32 [B, n].
 
+    g0 [B] i32: per-stream-set word offset (staged fused decoding);
+    return_carry additionally returns (states_out [B, K], g_out [B])."""
     if k != _SUB * 128:
         raise ValueError(f"pallas decode requires K == {_SUB * 128}")
     s_steps, n_pad = plan(n, k)
     b = words.shape[0]
     # Word buffer padded so any 16-row-aligned window read stays in range.
-    wr_rows = n_pad // 128 + 2 * _WIN_ROWS
+    n_words = words.shape[1]
+    wr_rows = -(-n_words // 128) + 2 * _WIN_ROWS
     wr_rows += (-wr_rows) % 16
     w3 = jnp.zeros((b, wr_rows, 128), jnp.uint16)
-    w3 = w3.at[:, :n_pad // 128, :].set(words[:, :n_pad].reshape(
-        b, n_pad // 128, 128))
+    wpad = jnp.pad(words, ((0, 0), (0, (-n_words) % 128)))
+    w3 = w3.at[:, :wpad.shape[1] // 128, :].set(
+        wpad.reshape(b, -1, 128))
     rows_p = jnp.pad(rows.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
     rows3 = rows_p.reshape(b, s_steps * _SUB, 128)
     states3 = states.astype(jnp.uint32).reshape(b, _SUB, 128)
+    if g0 is None:
+        g0 = jnp.zeros((b,), jnp.int32)
+    g02 = jnp.asarray(g0, jnp.int32).reshape(b, 1)
 
-    out = pl.pallas_call(
+    out, states_o, g_o = pl.pallas_call(
         _decode_pallas_kernel,
         grid=(b, s_steps),
         in_specs=[
@@ -501,19 +544,34 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bb, t: (bb, 0),
+                         memory_space=pltpu.SMEM),
             pl.BlockSpec((cdf512_f32.shape[0], 512),
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, t, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, s_steps * _SUB, 128), jnp.int32),
+        out_specs=[
+            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda bb, t: (bb, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, s_steps * _SUB, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, _SUB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((b, 1), jnp.int32),
+        ],
         scratch_shapes=[
             pltpu.VMEM((_SUB, 128), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
-    )(rows3, w3, states3, cdf512_f32)
-    return out.reshape(b, n_pad)[:, :n]
+    )(rows3, w3, states3, g02, cdf512_f32)
+    syms = out.reshape(b, n_pad)[:, :n]
+    if return_carry:
+        return syms, states_o.reshape(b, k), g_o.reshape(b)
+    return syms
 
 
 # ---------------------------------------------------------------------------

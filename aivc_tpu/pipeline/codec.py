@@ -186,28 +186,76 @@ class FrameCodec:
 
         self.laplace_rows = build_laplace_table()
         self.z_rows = {}
-        # Device-backend tables: same learned CDFs quantized to the vrans
-        # scale (2^14), in both forward (encode) and slot-inverse (decode)
-        # packed forms, resident on device.
+        # Device-backend tables at the vrans scale (2^14): one FUSED row
+        # space [mofnet-z channels | codecnet-z channels | y sigma bins]
+        # so a whole frame's latents ride ONE interleaved rANS stream
+        # (per-frame overhead = one K-state flush instead of four).
         lap14 = build_laplace_table(scale=vrans.PROB_SCALE)
-        self._lap14 = lap14
-        self.vr_y_enc = vrans.make_enc_tables(lap14)
-        self.vr_y_dec = vrans.make_dec_tables(lap14)
-        self._z14 = {}
-        self.vr_z_enc = {}
-        self.vr_z_dec = {}
+        z14 = {}
         for which in ("mofnet", "codecnet"):
             net_cfg = cfg.mofnet if which == "mofnet" else cfg.codecnet
             prior = FactorizedPrior(net_cfg.nb_ft_z)
             prior_params = {"params": params["params"][
                 "mofnet" if which == "mofnet" else "codecnet"]["pdf_z"]}
             self.z_rows[which] = build_z_table(prior, prior_params)
-            z14 = build_z_table(prior, prior_params, scale=vrans.PROB_SCALE)
-            self._z14[which] = z14
-            self.vr_z_enc[which] = vrans.make_enc_tables(z14)
-            self.vr_z_dec[which] = vrans.make_dec_tables(z14)
+            z14[which] = build_z_table(prior, prior_params,
+                                       scale=vrans.PROB_SCALE)
+        fused14 = np.concatenate(
+            [z14["mofnet"], z14["codecnet"], lap14], axis=0)
+        self._fused14 = fused14
+        self.vr_enc = vrans.make_enc_tables(fused14)
+        self.vr_dec = vrans.make_dec_tables(fused14)
+        czm = cfg.mofnet.nb_ft_z
+        czc = cfg.codecnet.nb_ft_z
+        self._row_off = {"z_m": 0, "z_c": czm, "y": czm + czc}
+        # Per-family pad symbol: most probable symbol of the family's
+        # first row (identical on encoder and decoder by construction).
+        freq14 = np.diff(fused14.astype(np.int64), axis=1)
+        self._pad_sym = {
+            f: int(np.argmax(freq14[off]))
+            for f, off in self._row_off.items()
+        }
+        # Adaptive stream count: K for the next frame of each type comes
+        # from the previous frame's measured word count (the decoder reads
+        # K from the chunk header, so the policy is encoder-private).
+        self._k_hint: Dict[int, int] = {}
 
         self._build_stage_fns()
+
+    # ------------------------------------------------------------------
+    def _fused_n(self, frame_type: int, k: int):
+        """(total padded symbols, per-segment padded lengths) of a frame's
+        fused stream at stream count k."""
+        segs = []
+        if frame_type != FRAME_I:
+            segs.append(-(-self._n_z["mofnet"] // k) * k)
+            segs.append(-(-self._n_y["mofnet"] // k) * k)
+        segs.append(-(-self._n_z["codecnet"] // k) * k)
+        segs.append(-(-self._n_y["codecnet"] // k) * k)
+        return sum(segs), tuple(segs)
+
+    def _pick_k(self, frame_type: int) -> int:
+        """Stream count for the next frame of this type: sized so the
+        4K-byte state flush stays ~<5% of the previous frame's payload,
+        floored so the scan stays <= 8192 steps."""
+        n_total, _ = self._fused_n(frame_type, 8)
+        k_lo = 8
+        while n_total // k_lo > 8192:
+            k_lo *= 2
+        hint = self._k_hint.get(frame_type)
+        if hint is None:
+            k = vrans.pick_k(n_total)
+        else:
+            k = 8
+            while k < vrans.K_MAX and k * 2 * 80 <= hint:
+                k *= 2
+        return max(k_lo, min(k, vrans.K_MAX))
+
+    def _update_k_hint(self, frame_type: int, payload_bytes: int):
+        prev = self._k_hint.get(frame_type)
+        cur = payload_bytes
+        self._k_hint[frame_type] = (
+            cur if prev is None else (prev + cur) // 2)
 
     # ------------------------------------------------------------------
     def _build_stage_fns(self):
@@ -324,63 +372,103 @@ class FrameCodec:
                                 method=FullNet.codecnet_synth)
             return _cast_body(x_hat)
 
-        # ---- device-backend entropy coding programs (coding/vrans.py):
-        # symbol shift + row prep fused with the scan cores, vmapped over
-        # the wave batch so each chunk type is ONE device program.
-        @functools.partial(jax.jit, static_argnames=("n", "k", "pad_sym"))
-        def vrenc_y(q16, bins, tables, n, k, pad_sym):
-            B = q16.shape[0]
-            sym = (q16.astype(jnp.int32) + AC_MAX_VAL).reshape(B, n)
-            rows = bins.astype(jnp.int32).reshape(B, n)
-            return jax.vmap(lambda s, r: vrans.encode_impl(
-                s, r, tables, n=n, k=k, n_sym=N_SYMBOLS, pad_sym=pad_sym)
-            )(sym, rows)
+        # ---- device-backend FUSED entropy coding (coding/vrans.py): a
+        # frame's segments [z_m, y_m, z_c, y_c] (each padded to a multiple
+        # of K) ride one interleaved rANS stream; decoding happens in
+        # stages with the (states, word-offset) carry staying on device.
+        OFF = self._row_off
+        PAD = self._pad_sym
 
-        @functools.partial(jax.jit, static_argnames=("n", "k", "pad_sym"))
-        def vrenc_z(z_q, tables, n, k, pad_sym):
-            B, H, W, C = z_q.shape
-            sym = (z_q.astype(jnp.int32) + AC_MAX_VAL).reshape(B, n)
-            rows = jnp.broadcast_to(
-                jnp.arange(C, dtype=jnp.int32), (H, W, C)).reshape(n)
-            return jax.vmap(lambda s: vrans.encode_impl(
-                s, rows, tables, n=n, k=k, n_sym=N_SYMBOLS, pad_sym=pad_sym)
-            )(sym)
+        def _pad_seg(sym, rows, k, pad_sym, pad_row):
+            pad = (-sym.shape[1]) % k
+            if pad:
+                sym = jnp.pad(sym, ((0, 0), (0, pad)),
+                              constant_values=pad_sym)
+                rows = jnp.pad(rows, ((0, 0), (0, pad)),
+                               constant_values=pad_row)
+            return sym, rows
 
-        @functools.partial(jax.jit, static_argnames=("n", "k", "shape"))
-        def vrdec_z(words, states, tables, n, k, shape):
-            B = words.shape[0]
+        def _z_seg(zq, fam, k):
+            B, H, W, C = zq.shape
+            n = H * W * C
+            sym = (zq.astype(jnp.int32) + AC_MAX_VAL).reshape(B, n)
             rows = jnp.broadcast_to(
-                jnp.arange(shape[-1], dtype=jnp.int32), shape).reshape(1, n)
+                jnp.arange(C, dtype=jnp.int32) + OFF[fam],
+                (H, W, C)).reshape(1, n)
             rows = jnp.broadcast_to(rows, (B, n))
-            syms = vrans.decode_batch(words, states, rows, tables, n=n, k=k)
+            return _pad_seg(sym, rows, k, PAD[fam], OFF[fam])
+
+        def _y_seg(q16, bins, k):
+            B = q16.shape[0]
+            sym = (q16.astype(jnp.int32) + AC_MAX_VAL).reshape(B, -1)
+            rows = bins.astype(jnp.int32).reshape(B, -1) + OFF["y"]
+            return _pad_seg(sym, rows, k, PAD["y"], OFF["y"])
+
+        def _enc_fused(parts, tables, k):
+            sym = jnp.concatenate([p[0] for p in parts], axis=1)
+            rows = jnp.concatenate([p[1] for p in parts], axis=1)
+            n = sym.shape[1]
+            segs = tuple(p[0].shape[1] // k for p in parts)
+            return jax.vmap(lambda s, r: vrans.encode_impl(
+                s, r, tables, n=n, k=k, n_sym=N_SYMBOLS,
+                pad_sym=PAD["z_c"], segment_steps=segs))(sym, rows)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def vrenc_fused_pb(z_qm, q16m, binsm, z_qc, q16c, binsc, tables, k):
+            parts = [_z_seg(z_qm, "z_m", k), _y_seg(q16m, binsm, k),
+                     _z_seg(z_qc, "z_c", k), _y_seg(q16c, binsc, k)]
+            return _enc_fused(parts, tables, k)
+
+        @functools.partial(jax.jit, static_argnames=("k",))
+        def vrenc_fused_i(z_qc, q16c, binsc, tables, k):
+            parts = [_z_seg(z_qc, "z_c", k), _y_seg(q16c, binsc, k)]
+            return _enc_fused(parts, tables, k)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n", "k", "shape", "off"))
+        def vrdec_seg_z(words, states, g0, tables, n, k, shape, off):
+            """Decode one z segment (n = padded length) with carry."""
+            B = words.shape[0]
+            nraw = shape[0] * shape[1] * shape[2]
+            rows = jnp.broadcast_to(
+                jnp.arange(shape[-1], dtype=jnp.int32) + off,
+                shape).reshape(1, nraw)
+            rows = jnp.broadcast_to(rows, (B, nraw))
+            rows = jnp.pad(rows, ((0, 0), (0, n - nraw)),
+                           constant_values=off)
+            syms, st, g = vrans.decode_batch(
+                words, states, rows, tables, n=n, k=k, g0=g0,
+                return_carry=True)
             # float32, matching the encoder's z_q dtype so hyper-synthesis
             # is the same compiled program on both sides.
-            return (syms - AC_MAX_VAL).astype(jnp.float32).reshape(
+            z = (syms[:, :nraw] - AC_MAX_VAL).astype(jnp.float32).reshape(
                 (B,) + shape)
+            return z, st, g
 
         @functools.partial(jax.jit, static_argnames=("n", "k", "shape"))
-        def vrdec_y(words, states, bins, tables, n, k, shape):
+        def vrdec_seg_y(words, states, g0, bins, tables, n, k, shape):
             B = words.shape[0]
-            rows = bins.astype(jnp.int32).reshape(B, n)
-            syms = vrans.decode_batch(words, states, rows, tables, n=n, k=k)
+            nraw = shape[0] * shape[1] * shape[2]
+            rows = bins.astype(jnp.int32).reshape(B, nraw) + OFF["y"]
+            rows = jnp.pad(rows, ((0, 0), (0, n - nraw)),
+                           constant_values=OFF["y"])
+            syms, st, g = vrans.decode_batch(
+                words, states, rows, tables, n=n, k=k, g0=g0,
+                return_carry=True)
             # int16, matching the encoder's q16 so synthesis is shared.
-            return (syms - AC_MAX_VAL).astype(jnp.int16).reshape(
+            y = (syms[:, :nraw] - AC_MAX_VAL).astype(jnp.int16).reshape(
                 (B,) + shape)
+            return y, st, g
 
         @functools.partial(jax.jit, static_argnames=("m",))
         def prefix_cols(buf, m):
             return buf[:, :m]
 
-        @functools.partial(jax.jit, static_argnames=("n_pad",))
-        def pad_cols(w, n_pad):
-            return jnp.pad(w, ((0, 0), (0, n_pad - w.shape[1])))
-
-        self._vrenc_y = vrenc_y
-        self._vrenc_z = vrenc_z
-        self._vrdec_y = vrdec_y
-        self._vrdec_z = vrdec_z
+        self._vrenc_fused_pb = vrenc_fused_pb
+        self._vrenc_fused_i = vrenc_fused_i
+        self._vrdec_seg_z = vrdec_seg_z
+        self._vrdec_seg_y = vrdec_seg_y
         self._prefix_cols = prefix_cols
-        self._pad_cols = pad_cols
 
         self._to444 = to444
         self._planes_to_ref = planes_to_ref
@@ -538,97 +626,72 @@ class FrameCodec:
             "decoded": decoded,
         }
         if self.backend == "device":
-            # Queue the on-device entropy coding of every chunk right
-            # behind the transforms — still zero host sync; the host later
-            # pulls only compressed words (encode_frames_finish).
-            vr = {}
-            if frame_type != FRAME_I:
-                vr["mofnet_z"] = self._launch_vr_z("mofnet", z_qm)
-                vr["mofnet_y"] = self._launch_vr_y("mofnet", y_cqm[0],
-                                                   bins_m)
-            vr["codecnet_z"] = self._launch_vr_z("codecnet", z_qc)
-            vr["codecnet_y"] = self._launch_vr_y("codecnet", y_cqc[0],
-                                                 bins_c)
-            handles["vr"] = vr
+            # Queue the on-device FUSED entropy coding of the whole frame
+            # right behind the transforms — still zero host sync; the
+            # host later pulls only compressed words.
+            kk = self._pick_k(frame_type)
+            if frame_type == FRAME_I:
+                res = self._vrenc_fused_i(z_qc, y_cqc[0], bins_c,
+                                          self.vr_enc, k=kk)
+            else:
+                res = self._vrenc_fused_pb(z_qm, y_cqm[0], bins_m,
+                                           z_qc, y_cqc[0], bins_c,
+                                           self.vr_enc, k=kk)
+            handles["vr"] = {"res": res, "k": kk}
         return handles
 
-    def _launch_vr_z(self, which: str, z_q):
-        n = self._n_z[which]
-        kk = vrans.pick_k(n)
-        t = self.vr_z_enc[which]
-        res = self._vrenc_z(z_q, t, n=n, k=kk, pad_sym=t.pad_sym)
-        return {"res": res, "n": n, "k": kk}
+    def _fused_rows_np(self, handles, i: int):
+        """Host-side reconstruction of frame i's fused (symbols, rows) —
+        debug mode only (mirrors the device-side segment construction)."""
+        k = handles["vr"]["k"]
+        OFF, PAD = self._row_off, self._pad_sym
+        syms, rows = [], []
 
-    def _launch_vr_y(self, which: str, q16, bins):
-        n = self._n_y[which]
-        kk = vrans.pick_k(n)
-        t = self.vr_y_enc
-        res = self._vrenc_y(q16, bins, t, n=n, k=kk, pad_sym=t.pad_sym)
-        return {"res": res, "n": n, "k": kk}
+        def pad_to(v, r, pad_sym, pad_row):
+            pad = (-v.size) % k
+            syms.append(np.concatenate(
+                [v, np.full(pad, pad_sym, np.int64)]))
+            rows.append(np.concatenate(
+                [r, np.full(pad, pad_row, np.int64)]))
 
-    def _finish_vr_chunks(self, vr):
-        """Pull one wave's compressed chunks: per chunk type, one pull of
-        (totals, states) plus one bucketed pull of the word matrix."""
-        out = {}
-        for name, h in vr.items():
-            buf, states, totals = h["res"]
-            totals_np = np.asarray(totals)
-            states_np = np.asarray(states)
-            _, n_pad = vrans.plan(h["n"], h["k"])
-            mmax = int(totals_np.max())
-            rows = None
-            if mmax > 0:
-                m = vrans.bucket(mmax, n_pad)
-                rows = np.asarray(self._prefix_cols(buf, m))
-            payloads = []
-            for i in range(totals_np.shape[0]):
-                t = int(totals_np[i])
-                words = (rows[i, :t] if t > 0
-                         else np.empty(0, np.uint16))
-                payloads.append(
-                    vrans.serialize_chunk(h["k"], states_np[i], words))
-            out[name] = payloads
-        return out
+        def add_z(zq, fam):
+            v = zq.reshape(-1).astype(np.int64) + AC_MAX_VAL
+            r = np.broadcast_to(
+                np.arange(zq.shape[-1], dtype=np.int64) + OFF[fam],
+                zq.shape).reshape(-1)
+            pad_to(v, r, PAD[fam], OFF[fam])
+
+        def add_y(y, b):
+            v = y.reshape(-1).astype(np.int64) + AC_MAX_VAL
+            r = b.reshape(-1).astype(np.int64) + OFF["y"]
+            pad_to(v, r, PAD["y"], OFF["y"])
+
+        if handles["frame_type"] != FRAME_I:
+            add_z(np.asarray(handles["z_qm"], np.int32)[i], "z_m")
+            add_y(np.asarray(handles["y_cqm"][0], np.int32)[i],
+                  np.asarray(handles["bins_m"], np.int32)[i])
+        add_z(np.asarray(handles["z_qc"], np.int32)[i], "z_c")
+        add_y(np.asarray(handles["y_cqc"][0], np.int32)[i],
+              np.asarray(handles["bins_c"], np.int32)[i])
+        return np.concatenate(syms), np.concatenate(rows)
 
     def _debug_vr_frame(self, handles, chunks_i: Dict[str, bytes], i: int):
-        """Per-chunk lossless self-check + analytic-vs-real rate for the
+        """Fused-chunk lossless self-check + analytic-vs-real rate for the
         device backend (reference: bitstream.py:307-350)."""
         from aivc_tpu.coding.cdf import expected_bits
 
-        def check(name, vals, rows_np, cdf14, dec_tables):
-            payload = chunks_i[name]
-            back = vrans.decode_chunk(payload, rows_np, dec_tables)
-            # decode_chunk returns shifted symbols (value + AC_MAX_VAL)
-            lossless = np.array_equal(
-                back.reshape(vals.shape) - AC_MAX_VAL, vals)
-            est = expected_bits(
-                (vals + AC_MAX_VAL).astype(np.int64).reshape(-1),
-                rows_np.reshape(-1), cdf14) / 8.0
-            print(f"[AC-dev] {name}[{i}]: {len(payload)}B real, "
-                  f"{est:.1f}B analytic, "
-                  f"{'lossless Ok!' if lossless else 'NOT LOSSLESS Ko!'}")
-            if not lossless:
-                raise AssertionError(
-                    f"device entropy coding not lossless: {name}[{i}]")
-
-        ft = handles["frame_type"]
-        if ft != FRAME_I:
-            z = np.asarray(handles["z_qm"], np.int32)[i]
-            rows = np.broadcast_to(
-                np.arange(z.shape[-1], dtype=np.int32), z.shape)
-            check("mofnet_z", z, rows, self._z14["mofnet"],
-                  self.vr_z_dec["mofnet"])
-            y = np.asarray(handles["y_cqm"][0], np.int32)[i]
-            b = np.asarray(handles["bins_m"], np.int32)[i]
-            check("mofnet_y", y, b, self._lap14, self.vr_y_dec)
-        z = np.asarray(handles["z_qc"], np.int32)[i]
-        rows = np.broadcast_to(
-            np.arange(z.shape[-1], dtype=np.int32), z.shape)
-        check("codecnet_z", z, rows, self._z14["codecnet"],
-              self.vr_z_dec["codecnet"])
-        y = np.asarray(handles["y_cqc"][0], np.int32)[i]
-        b = np.asarray(handles["bins_c"], np.int32)[i]
-        check("codecnet_y", y, b, self._lap14, self.vr_y_dec)
+        payload = chunks_i["codecnet_z"]
+        syms, rows = self._fused_rows_np(handles, i)
+        back = vrans.decode_chunk(payload, rows.astype(np.int32),
+                                  self.vr_dec)
+        lossless = np.array_equal(back.astype(np.int64), syms)
+        est = expected_bits(syms, rows, self._fused14) / 8.0
+        print(f"[AC-dev] fused[{i}]: {len(payload)}B real, "
+              f"{est:.1f}B analytic, "
+              f"{'lossless Ok!' if lossless else 'NOT LOSSLESS Ko!'}")
+        if not lossless:
+            raise AssertionError(
+                f"device entropy coding not lossless: frame {i}")
 
     def encode_frames_finish(self, handles):
         """Host half of a launched wave.
@@ -643,10 +706,24 @@ class FrameCodec:
         stats = [dict() for _ in range(k)]
 
         if self.backend == "device":
-            vr_payloads = self._finish_vr_chunks(handles["vr"])
-            for name, payloads in vr_payloads.items():
-                for i in range(k):
-                    per_frame_chunks[i][name] = payloads[i]
+            vr = handles["vr"]
+            kk = vr["k"]
+            buf, states, totals, segw = vr["res"]
+            totals_np = np.asarray(totals)
+            states_np = np.asarray(states)
+            segw_np = np.asarray(segw)
+            mmax = int(totals_np.max())
+            rows = None
+            if mmax > 0:
+                m = vrans.bucket(mmax, buf.shape[1])
+                rows = np.asarray(self._prefix_cols(buf, m=m))
+            for i in range(k):
+                t = int(totals_np[i])
+                words = rows[i, :t] if t > 0 else np.empty(0, np.uint16)
+                # One fused chunk per frame, carried in the first present
+                # chunk slot of the reference's 4-chunk frame container.
+                per_frame_chunks[i]["codecnet_z"] = vrans.serialize_chunk(
+                    kk, states_np[i], words)
             if frame_type == FRAME_I:
                 for s in stats:
                     s["alpha_mean"] = 1.0
@@ -664,12 +741,19 @@ class FrameCodec:
             for i in range(k):
                 fb = bs.pack_frame(per_frame_chunks[i])
                 frame_bytes.append(fb)
-                c = per_frame_chunks[i]
                 stats[i]["bytes"] = len(fb)
-                stats[i]["mode_bytes"] = len(c.get("mofnet_z", b"")) + len(
-                    c.get("mofnet_y", b""))
-                stats[i]["codec_bytes"] = len(c["codecnet_z"]) + len(
-                    c["codecnet_y"])
+                # Per-net byte split from the fused stream's per-segment
+                # word counts (informational; the state flush + header are
+                # not attributed).
+                if frame_type == FRAME_I:
+                    stats[i]["mode_bytes"] = 0
+                    stats[i]["codec_bytes"] = 2 * int(segw_np[i].sum())
+                else:
+                    stats[i]["mode_bytes"] = 2 * int(segw_np[i, :2].sum())
+                    stats[i]["codec_bytes"] = 2 * int(segw_np[i, 2:].sum())
+            self._update_k_hint(
+                frame_type,
+                int(np.mean([len(fbx) for fbx in frame_bytes])))
             return frame_bytes, handles["decoded"], stats
 
         jobs = []  # (frame_idx, chunk_name, fn) — rANS runs in threads:
@@ -742,66 +826,53 @@ class FrameCodec:
             [frame_u8], [prev_ref], [next_ref], frame_type, idx_rate)
         return fbs[0], decs[0], stats[0]
 
-    def _push_chunk_batch(self, payloads, n: int):
-        """Parse one wave's chunks of a given type and push them as one
-        [B, n_pad] word matrix + [B, K] states (two transfers total)."""
-        parsed = [vrans.parse_chunk(pl, n) for pl in payloads]
+    def _decode_frames_device(self, chunks, prev, nxt, rate, k: int,
+                              frame_type: int):
+        """Decode a wave with on-device staged entropy decoding of the
+        fused per-frame stream: ONE words push per wave; latents, sigma
+        bins, stream states and word offsets never leave the device."""
+        p = self.params
+        payloads = [c["codecnet_z"] for c in chunks]
+        parsed = [vrans.parse_chunk(pl, 0) for pl in payloads]
         kk = parsed[0][2]
         if any(pk != kk for _, _, pk in parsed):
             raise ValueError("inconsistent vrans stream counts in a wave")
-        _, n_pad = vrans.plan(n, kk)
+        _, segs = self._fused_n(frame_type, kk)
         mmax = max(w.size for w, _, _ in parsed)
-        m = vrans.bucket(max(mmax, 1), n_pad)
+        m = vrans.bucket(max(mmax, 1), 1 << 30)
         wb = np.zeros((len(parsed), m), np.uint16)
         for i, (w, _, _) in enumerate(parsed):
             wb[i, :w.size] = w
-        states = np.stack([st for _, st, _ in parsed])
-        words_dev = self._pad_cols(jnp.asarray(wb), n_pad=n_pad)
-        return words_dev, jnp.asarray(states), kk
+        words = jnp.asarray(wb)
+        st = jnp.asarray(np.stack([s for _, s, _ in parsed]))
+        g = jnp.zeros((len(parsed),), jnp.int32)
+        t = self.vr_dec
 
-    def _decode_frames_device(self, chunks, prev, nxt, rate, k: int,
-                              frame_type: int):
-        """Decode a wave with on-device entropy decoding: pushes only the
-        compressed words; latents, sigma bins and references never leave
-        the device."""
-        p = self.params
         if frame_type == FRAME_I:
             pred = jnp.zeros((k, self.hp, self.wp, 3), jnp.float32)
             skip = jnp.zeros_like(pred)
+            seg_zc, seg_yc = segs
         else:
-            n = self._n_z["mofnet"]
-            w, st, kk = self._push_chunk_batch(
-                [c["mofnet_z"] for c in chunks], n)
-            t = self.vr_z_dec["mofnet"]
-            z_qm = self._vrdec_z(
-                w, st, t, n=n, k=kk,
-                shape=(self.hz, self.wz, self.cfg.mofnet.nb_ft_z))
+            seg_zm, seg_ym, seg_zc, seg_yc = segs
+            z_qm, st, g = self._vrdec_seg_z(
+                words, st, g, t, n=seg_zm, k=kk,
+                shape=(self.hz, self.wz, self.cfg.mofnet.nb_ft_z),
+                off=self._row_off["z_m"])
             mu_m, bins_m = self._mof_hyper(p, z_qm)
-            n = self._n_y["mofnet"]
-            w, st, kk = self._push_chunk_batch(
-                [c["mofnet_y"] for c in chunks], n)
-            t = self.vr_y_dec
-            y_cqm = self._vrdec_y(
-                w, st, bins_m, t, n=n, k=kk,
+            y_cqm, st, g = self._vrdec_seg_y(
+                words, st, g, bins_m, t, n=seg_ym, k=kk,
                 shape=(self.hy, self.wy, self.cfg.mofnet.nb_ft_y))
             mof = self._mof_synth(p, y_cqm, mu_m, prev, nxt, rate,
                                   ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
 
-        n = self._n_z["codecnet"]
-        w, st, kk = self._push_chunk_batch(
-            [c["codecnet_z"] for c in chunks], n)
-        t = self.vr_z_dec["codecnet"]
-        z_qc = self._vrdec_z(
-            w, st, t, n=n, k=kk,
-            shape=(self.hz, self.wz, self.cfg.codecnet.nb_ft_z))
+        z_qc, st, g = self._vrdec_seg_z(
+            words, st, g, t, n=seg_zc, k=kk,
+            shape=(self.hz, self.wz, self.cfg.codecnet.nb_ft_z),
+            off=self._row_off["z_c"])
         mu_c, bins_c = self._cod_hyper(p, z_qc)
-        n = self._n_y["codecnet"]
-        w, st, kk = self._push_chunk_batch(
-            [c["codecnet_y"] for c in chunks], n)
-        t = self.vr_y_dec
-        y_cqc = self._vrdec_y(
-            w, st, bins_c, t, n=n, k=kk,
+        y_cqc, st, g = self._vrdec_seg_y(
+            words, st, g, bins_c, t, n=seg_yc, k=kk,
             shape=(self.hy, self.wy, self.cfg.codecnet.nb_ft_y))
         planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip,
                                              rate, ftype=frame_type)

@@ -61,8 +61,19 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "bf16")
     wave_batch = int(os.environ.get("BENCH_WAVES", "4"))
 
-    cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[model_name]
-    _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
+    # Prefer the trained flagship checkpoint when present (trained latents
+    # are sparse/low-entropy, which is what production coding looks like);
+    # BENCH_CKPT=<dir> overrides, BENCH_CKPT=none forces random init.
+    ckpt = os.environ.get("BENCH_CKPT", "")
+    if not ckpt and os.path.isdir("/root/repo/models_ckpt/bf16-toy"):
+        ckpt = "/root/repo/models_ckpt/bf16-toy"
+    if ckpt and ckpt != "none" and os.path.isdir(ckpt):
+        from aivc_tpu.utils.checkpoint import load_checkpoint
+
+        cfg, params = load_checkpoint(ckpt)
+    else:
+        cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[model_name]
+        _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
     backend = os.environ.get("BENCH_ENTROPY", "device")
     codec = FrameCodec(cfg, params, h, w, entropy_backend=backend)
 

@@ -204,3 +204,91 @@ def test_pallas_kernel_interpret_matches_gather():
         jnp.asarray(w), jnp.asarray(states)[None], jnp.asarray(rows)[None],
         dec.cdf512_f32, n=n, k=k, interpret=True)
     np.testing.assert_array_equal(np.asarray(out)[0], vals)
+
+
+def _pad_seg(vals, rows, k, pad_sym, pad_row):
+    """Pad a segment to a multiple of k with deterministic filler."""
+    pad = (-len(vals)) % k
+    return (np.concatenate([vals, np.full(pad, pad_sym, np.int32)]),
+            np.concatenate([rows, np.full(pad, pad_row, np.int32)]))
+
+
+@pytest.mark.parametrize("method", ["gather", "matmul"])
+def test_fused_stream_staged_decode(method):
+    """One rANS stream carrying two segments with different row families,
+    decoded in two stages with (states, offset) carried between — the
+    mechanism behind the frame-fused chunk format."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(31)
+    cdf_rows = _rand_cdf_rows(rng, 10, skew=2.0)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    k = 64
+    n1, n2 = 1000, 1500
+    v1 = rng.integers(0, N_SYMBOLS, size=n1).astype(np.int32)
+    r1 = rng.integers(0, 5, size=n1).astype(np.int32)
+    v2 = rng.integers(0, N_SYMBOLS, size=n2).astype(np.int32)
+    r2 = rng.integers(5, 10, size=n2).astype(np.int32)
+    v1p, r1p = _pad_seg(v1, r1, k, 7, 0)
+    v2p, r2p = _pad_seg(v2, r2, k, 9, 5)
+    sym = np.concatenate([v1p, v2p])
+    rows = np.concatenate([r1p, r2p])
+    n = sym.size
+    segs = (len(v1p) // k, len(v2p) // k)
+
+    buf, states, total, seg_words = vrans._encode_core(
+        jnp.asarray(sym), jnp.asarray(rows), enc, n=n, k=k,
+        n_sym=N_SYMBOLS, pad_sym=enc.pad_sym, method=method,
+        segment_steps=segs)
+    total = int(total)
+    assert int(seg_words.sum()) == total
+    words = np.asarray(buf)[:total]
+
+    wb = jnp.asarray(words[None])  # [1, total]
+    st = jnp.asarray(np.asarray(states)[None])
+    s1, st1, g1 = vrans.decode_batch(
+        wb, st, jnp.asarray(r1p[None]), dec, n=len(v1p), k=k,
+        method=method, return_carry=True)
+    np.testing.assert_array_equal(np.asarray(s1)[0][:n1], v1)
+    assert int(np.asarray(g1)[0]) == int(np.asarray(seg_words)[0])
+    s2 = vrans.decode_batch(
+        wb, st1, jnp.asarray(r2p[None]), dec, n=len(v2p), k=k,
+        method=method, g0=g1)
+    np.testing.assert_array_equal(np.asarray(s2)[0][:n2], v2)
+
+
+def test_fused_stream_staged_decode_pallas_interpret():
+    """Same staged mechanism through the Pallas kernel (interpret mode)."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(33)
+    cdf_rows = _rand_cdf_rows(rng, 6, skew=2.0)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    k = vrans._SUB * 128
+    n1, n2 = 2000, 1200
+    v1 = rng.integers(0, N_SYMBOLS, size=n1).astype(np.int32)
+    r1 = rng.integers(0, 3, size=n1).astype(np.int32)
+    v2 = rng.integers(0, N_SYMBOLS, size=n2).astype(np.int32)
+    r2 = rng.integers(3, 6, size=n2).astype(np.int32)
+    v1p, r1p = _pad_seg(v1, r1, k, 5, 0)
+    v2p, r2p = _pad_seg(v2, r2, k, 6, 3)
+    sym = np.concatenate([v1p, v2p])
+    rows = np.concatenate([r1p, r2p])
+    n = sym.size
+
+    buf, states, total = vrans._encode_core(
+        jnp.asarray(sym), jnp.asarray(rows), enc, n=n, k=k,
+        n_sym=N_SYMBOLS, pad_sym=enc.pad_sym, method="gather")
+    words = np.asarray(buf)[:int(total)]
+    wb = jnp.asarray(words[None])
+    st = jnp.asarray(np.asarray(states)[None])
+    s1, st1, g1 = vrans.decode_pallas_batch(
+        wb, st, jnp.asarray(r1p[None]), dec.cdf512_f32, n=len(v1p), k=k,
+        interpret=True, return_carry=True)
+    np.testing.assert_array_equal(np.asarray(s1)[0][:n1], v1)
+    s2 = vrans.decode_pallas_batch(
+        wb, st1, jnp.asarray(r2p[None]), dec.cdf512_f32, n=len(v2p), k=k,
+        interpret=True, g0=g1)
+    np.testing.assert_array_equal(np.asarray(s2)[0][:n2], v2)
