@@ -122,3 +122,31 @@ def test_truncated_bitstream_raises(codec):
     res = encode_video(codec, frames, CodingConfig(coding_config="AI"))
     with pytest.raises(Exception):
         decode_video(codec, res.bitstream[: len(res.bitstream) // 2])
+
+
+def test_odd_dimensions_roundtrip():
+    """Odd H/W (odd UV sizes, reference: decode.py:556-571,
+    header.py:119-124): pad-to-64 + header-carried true size must
+    roundtrip bit-exactly through the real bitstream."""
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.pipeline.codec import FrameCodec
+
+    h, w = 37, 51
+    rng = np.random.default_rng(3)
+    frames = []
+    for t in range(3):
+        y = rng.integers(0, 255, (h, w), dtype=np.uint8)
+        frames.append({
+            "y": y,
+            "u": y[: (h + 1) // 2 * 2: 2, : (w + 1) // 2 * 2: 2],
+            "v": 255 - y[: (h + 1) // 2 * 2: 2, : (w + 1) // 2 * 2: 2],
+        })
+    assert frames[0]["u"].shape == ((h + 1) // 2, (w + 1) // 2)
+    _, params = init_fullnet(TINY, spatial=64)
+    c = FrameCodec(TINY, params, h, w)
+    cfg = CodingConfig(coding_config="LDP", intra_period=2)
+    res = encode_video(c, frames, cfg)
+    dec = decode_video(c, res.bitstream)
+    _assert_bit_exact(res, dec)
+    assert dec[0]["y"].shape == (h, w)
+    assert dec[0]["u"].shape == ((h + 1) // 2, (w + 1) // 2)
