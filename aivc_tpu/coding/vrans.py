@@ -376,10 +376,12 @@ def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
                           out_ref, states_out_ref, g_out_ref, x_ref, g_ref):
     t = pl.program_id(1)
 
+    bb = pl.program_id(0)
+
     @pl.when(t == 0)
     def _():
         x_ref[:] = states_ref[0]
-        g_ref[0] = g0_ref[0, 0]
+        g_ref[0] = g0_ref[bb, 0]
 
     x = x_ref[:]                                     # [8, 128] u32
     slot = x & _SLOT_MASK
@@ -464,7 +466,7 @@ def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
     @pl.when(t == pl.num_programs(1) - 1)
     def _():
         states_out_ref[0] = x_ref[:]
-        g_out_ref[0, 0] = g_ref[0]
+        g_out_ref[bb, 0] = g_ref[0]
 
 
 def _pallas_ok(n: int, k: int) -> bool:
@@ -544,7 +546,7 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bb, t: (bb, 0),
+            pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((cdf512_f32.shape[0], 512),
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
@@ -554,7 +556,7 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda bb, t: (bb, 0),
+            pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[

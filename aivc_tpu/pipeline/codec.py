@@ -161,6 +161,10 @@ class FrameCodec:
             self._frame_sharding = NamedSharding(
                 mesh, P(None, "spatial", None, None))
             params = jax.device_put(params, NamedSharding(mesh, P()))
+        else:
+            # Checkpoints load as host numpy trees; pin them on device once
+            # or every stage dispatch re-uploads the full parameter set.
+            params = jax.device_put(params)
         self.params = params
         self.h, self.w = height, width
         self.hp = math.ceil(height / PAD_MULTIPLE) * PAD_MULTIPLE
@@ -237,10 +241,12 @@ class FrameCodec:
     def _pick_k(self, frame_type: int) -> int:
         """Stream count for the next frame of this type: sized so the
         4K-byte state flush stays ~<5% of the previous frame's payload,
-        floored so the scan stays <= 8192 steps."""
+        floored so the rANS scan stays <= 2048 steps — the sequential
+        decode is LATENCY-bound per step, so deep scans dominate wall
+        clock long before the state-flush overhead matters."""
         n_total, _ = self._fused_n(frame_type, 8)
         k_lo = 8
-        while n_total // k_lo > 8192:
+        while n_total // k_lo > 2048:
             k_lo *= 2
         hint = self._k_hint.get(frame_type)
         if hint is None:
