@@ -36,6 +36,15 @@ V_RADIUS = 16  # max vertical displacement in rows (flow is clamped)
 LANE = 128
 
 
+def _pick_row_block(h: int):
+    """Largest divisor of h in [8, 256] (the kernel's row-block grid),
+    or None if none exists (then callers fall back to the XLA warp)."""
+    for hb in range(min(h, 256), 7, -1):
+        if h % hb == 0:
+            return hb
+    return None
+
+
 def _hgather_tiles(rows: jax.Array, xi: jax.Array) -> jax.Array:
     """out[y, x] = rows[y, xi[y, x]] for xi in [0, W), W a multiple of 128.
 
@@ -116,9 +125,9 @@ def warp_pallas(x: jax.Array, flow: jax.Array,
     if W % LANE != 0:
         raise ValueError(f"W={W} must be a multiple of {LANE}")
 
-    HB = min(H, 256)
-    if H % HB != 0:
-        raise ValueError(f"H={H} must be a multiple of the row block {HB}")
+    HB = _pick_row_block(H)
+    if HB is None:
+        raise ValueError(f"H={H} has no row-block divisor in [8, 256]")
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)

@@ -1,11 +1,13 @@
 """Per-stage wall-clock profile of the frame codec on the current backend.
 
-Times each compiled stage (steady state, after warm-up), the host range
-coder, and host<->device transfers separately, so optimization targets the
-actual bottleneck (SURVEY.md §5: the reference has no per-stage timers).
+Times each compiled stage (steady state, after warm-up), the entropy
+backends, and host<->device transfers separately, so optimization targets
+the actual bottleneck (SURVEY.md §5: the reference has no per-stage
+timers).
 
 Usage:
-  python scripts/profile_stages.py [--model tiny|base] [--h 240] [--w 416]
+  python scripts/profile_stages.py [--model tiny|base|bf16|ckpt:<dir>]
+                                   [--h 1080] [--w 1920] [--batch 4]
 """
 
 from __future__ import annotations
@@ -32,7 +34,7 @@ def _block(out):
         out)
 
 
-def timeit(fn, n=10):
+def timeit(fn, n=6):
     _block(fn())  # warm-up / compile, fully drained
     times = []
     for _ in range(n):
@@ -47,80 +49,138 @@ def main():
     ap.add_argument("--model", default="tiny")
     ap.add_argument("--h", type=int, default=240)
     ap.add_argument("--w", type=int, default=416)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="wave batch size to profile the B stages at")
     args = ap.parse_args()
 
-    from aivc_tpu.config import FRAME_P, ModelConfig
-    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.config import FRAME_B, FRAME_P, ModelConfig
+    from aivc_tpu.models.zoo import BASE_BF16, TINY, init_fullnet
     from aivc_tpu.pipeline.codec import FrameCodec
     from bench import synthetic_frames
 
-    cfg = TINY if args.model == "tiny" else ModelConfig()
-    _, params = init_fullnet(cfg)
-    codec = FrameCodec(cfg, params, args.h, args.w)
-    p = params
+    if args.model.startswith("ckpt:"):
+        from aivc_tpu.utils.checkpoint import load_checkpoint
 
-    frames = synthetic_frames(2, args.h, args.w)
-    frame = codec.ref_to_444(frames[0])
-    prev = codec.ref_to_444(frames[1])
+        cfg, params = load_checkpoint(args.model[5:])
+    else:
+        cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[
+            args.model]
+        _, params = init_fullnet(cfg, jax.random.PRNGKey(0), spatial=64)
+    codec = FrameCodec(cfg, params, args.h, args.w)
+    p = codec.params
+    k = args.batch
+
+    frames = synthetic_frames(k + 1, args.h, args.w)
+    frame = jnp.concatenate(
+        [codec.ref_to_444(frames[i]) for i in range(k)], axis=0)
+    prev = jnp.concatenate([codec.ref_to_444(frames[-1])] * k, axis=0)
     rate = jnp.float32(0.0)
+    ftype = FRAME_B if k > 1 else FRAME_P
 
     rows = []
 
     def add(name, secs):
         rows.append((name, secs * 1e3))
+        print(f"  {name:<34} {secs * 1e3:9.2f} ms", flush=True)
+
+    print(f"stage profile: model={cfg.name} {args.w}x{args.h} "
+          f"batch={k} ftype={ftype} backend={jax.default_backend()}",
+          flush=True)
 
     add("ref_to_444 (incl. transfer)",
         timeit(lambda: codec.ref_to_444(frames[0])))
 
-    y_m, z_qm = codec._mof_analyze(p, frame, prev, prev, rate, ftype=FRAME_P)
-    add("mof_analyze[P]",
+    y_m, z_qm = codec._mof_analyze(p, frame, prev, prev, rate, ftype=ftype)
+    add("mof_analyze",
         timeit(lambda: codec._mof_analyze(p, frame, prev, prev, rate,
-                                          ftype=FRAME_P)))
+                                          ftype=ftype)))
     mu_m, bins_m = codec._mof_hyper(p, z_qm)
     add("mof_hyper", timeit(lambda: codec._mof_hyper(p, z_qm)))
     y_cqm = codec._y_quant(y_m, mu_m)
     add("y_quant(mof)", timeit(lambda: codec._y_quant(y_m, mu_m)))
-    mof = codec._mof_synth(p, y_cqm, mu_m, frame, prev, rate, ftype=FRAME_P)
-    add("mof_synth[P]",
-        timeit(lambda: codec._mof_synth(p, y_cqm, mu_m, frame, prev, rate,
-                                        ftype=FRAME_P)))
+    add("mof_synth_maps",
+        timeit(lambda: codec._mof_synth_maps(p, y_cqm[0], mu_m, frame, prev,
+                                             rate, ftype=ftype)))
+    alpha, beta, v_prev, v_next = codec._mof_synth_maps(
+        p, y_cqm[0], mu_m, frame, prev, rate, ftype=ftype)
+    add("motion_comp (warp)",
+        timeit(lambda: codec._motion_comp(frame, prev, alpha, beta, v_prev,
+                                          v_next, ftype=ftype)))
+    mof = codec._mof_synth(p, y_cqm[0], mu_m, frame, prev, rate, ftype=ftype)
     pred, skip = mof["pred"], mof["skip"]
-    y_c, z_qc = codec._cod_analyze(p, frame, pred, rate, ftype=FRAME_P)
-    add("cod_analyze[P]",
-        timeit(lambda: codec._cod_analyze(p, frame, pred, rate, ftype=FRAME_P)))
+    y_c, z_qc = codec._cod_analyze(p, frame, pred, rate, ftype=ftype)
+    add("cod_analyze",
+        timeit(lambda: codec._cod_analyze(p, frame, pred, rate, ftype=ftype)))
     mu_c, bins_c = codec._cod_hyper(p, z_qc)
     add("cod_hyper", timeit(lambda: codec._cod_hyper(p, z_qc)))
     y_cqc = codec._y_quant(y_c, mu_c)
-    add("cod_synth[P] (incl. cast)",
-        timeit(lambda: codec._cod_synth(p, y_cqc, mu_c, pred, skip, rate,
-                                        ftype=FRAME_P)))
+    add("cod_synth (incl. cast)",
+        timeit(lambda: codec._cod_synth(p, y_cqc[0], mu_c, pred, skip, rate,
+                                        ftype=ftype)))
+    planes_dev, _ = codec._cod_synth(p, y_cqc[0], mu_c, pred, skip, rate,
+                                     ftype=ftype)
 
-    # Transfers
+    # ---- device entropy backend (vrans fused stream) ----
+    kk = codec._pick_k(ftype)
+    add(f"vrans enc fused (K={kk})",
+        timeit(lambda: codec._vrenc_fused_pb(
+            z_qm, y_cqm[0], bins_m, z_qc, y_cqc[0], bins_c,
+            codec.vr_enc, k=kk)))
+    res = codec._vrenc_fused_pb(z_qm, y_cqm[0], bins_m, z_qc, y_cqc[0],
+                                bins_c, codec.vr_enc, k=kk)
+    handles = {"k": k, "frame_type": ftype, "vr": {"res": res, "k": kk},
+               "mof": mof, "decoded": [],
+               "z_qm": z_qm, "y_cqm": y_cqm, "bins_m": bins_m,
+               "z_qc": z_qc, "y_cqc": y_cqc, "bins_c": bins_c}
+
+    buf, states, totals, segw = res
+    totals_np = np.asarray(totals)
+    mmax = int(totals_np.max())
+    from aivc_tpu.coding import vrans
+
+    m = vrans.bucket(mmax, buf.shape[1])
+
+    def pull_words():
+        return np.asarray(codec._prefix_cols(buf, m=m))
+
+    t = timeit(pull_words, n=3)
+    add(f"pull words ({k}x{m} u16)", t)
+
+    fbs, _, _ = codec.encode_frames_finish(dict(handles))
+    add("frame bytes", sum(len(fb) for fb in fbs) / 1e6 / 1000)  # MB row
+
+    # decode path (staged)
+    prev_refs = [frames[-1]] * k
+
+    def dec():
+        return codec.decode_frames_batch(
+            fbs, [codec.ref_to_444(f) for f in prev_refs],
+            [codec.ref_to_444(f) for f in prev_refs], ftype, 0.0)
+
+    decs = dec()
+    add("decode_frames_batch (full)",
+        timeit(lambda: dec(), n=3))
+
     t0 = time.perf_counter()
-    y_np = np.asarray(y_cqc)
-    add("pull y_cq (int16)", time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    b_np = np.asarray(bins_c)
-    add("pull bins (uint8)", time.perf_counter() - t0)
+    _ = decs[0].planes
+    add("pull decoded planes (wave)", time.perf_counter() - t0)
+
+    # host entropy backend for comparison
     z_np = np.asarray(z_qc, np.int32)
-
-    # Host range coder
+    y_np = np.asarray(y_cqc[0], np.int16)
+    b_np = np.asarray(bins_c)
     from aivc_tpu.coding import bitstream as bs
 
     t0 = time.perf_counter()
     cy = bs.encode_y_chunk(y_np[0], b_np[0], codec.laplace_rows)
-    add("rANS encode y (host)", time.perf_counter() - t0)
+    add("host rANS encode y (1 frame)", time.perf_counter() - t0)
     t0 = time.perf_counter()
     bs.decode_y_chunk(cy, y_np[0].shape, b_np[0], codec.laplace_rows)
-    add("rANS decode y (host)", time.perf_counter() - t0)
-    t0 = time.perf_counter()
-    cz = bs.encode_z_chunk(z_np[0], codec.z_rows["codecnet"])
-    add("rANS encode z (host)", time.perf_counter() - t0)
+    add("host rANS decode y (1 frame)", time.perf_counter() - t0)
 
-    print(f"\nstage profile: model={cfg.name} {args.w}x{args.h} "
-          f"backend={jax.default_backend()}")
+    print("\nsummary (min over reps):")
     for name, ms in rows:
-        print(f"  {name:<32} {ms:9.2f} ms")
+        print(f"  {name:<34} {ms:9.2f} ms")
 
 
 if __name__ == "__main__":
