@@ -93,6 +93,77 @@ def warp(x: jax.Array, flow: jax.Array) -> jax.Array:
     return top + (bot - top) * wy
 
 
+def pack_yuv_u32(x: jax.Array) -> jax.Array:
+    """Pack a 256-level-quantized [B, H, W, 3] frame into u32 [B, H, W].
+
+    The warped references are always reconstructions rebuilt from uint8
+    YUV planes (pipeline/codec.py cast stage), so each channel is exactly
+    round(v * 255) in [0, 255]; byte-packing them makes the warp's gather
+    payload 4 bytes instead of 3 floats (warp_packed below).
+    """
+    q = jnp.round(x * 255.0).astype(jnp.uint32)
+    return q[..., 0] | (q[..., 1] << 8) | (q[..., 2] << 16)
+
+
+def warp_packed(packed: jax.Array, flow: jax.Array) -> jax.Array:
+    """Bilinear warp of a byte-packed frame: ONE gather for all 4 corners
+    and all 3 channels.
+
+    The plain `warp` above needs 4 corner gathers x 3 channels of f32 —
+    TPU gathers are issued per index row, so it is index-rate bound
+    (~125 ms/frame at 1080p measured on v5e).  Here the 4 bilinear corners
+    of every pixel are precomputed as one [B, H*W, 4]-u32 array with
+    elementwise shifts (sequential HBM traffic, full VPU rate), so the
+    data-dependent part is a single gather of 16-byte rows — ~12x fewer
+    gather rows.
+
+    Args:
+      packed: [B, H, W] u32 from pack_yuv_u32 (the reference frame).
+      flow:   [B, H, W, 2] f32; same semantics as `warp`.
+
+    Returns:
+      [B, H, W, 3] f32 warped frame in [0, 1].
+    """
+    packed, flow = jax.lax.optimization_barrier((packed, flow))
+    B, H, W = packed.shape
+
+    # Edge-pad by one row/col so corner x0+1 / y0+1 reads clamp to the
+    # border (grid_sample padding_mode='border' semantics).
+    p = jnp.pad(packed, ((0, 0), (0, 1), (0, 1)), mode="edge")
+    corners = jnp.stack(
+        [p[:, :-1, :-1], p[:, :-1, 1:], p[:, 1:, :-1], p[:, 1:, 1:]],
+        axis=-1,
+    ).reshape(B, H * W, 4)
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    sx = jnp.clip(xx[None] + flow[..., 0].astype(jnp.float32), 0.0, W - 1)
+    sy = jnp.clip(yy[None] + flow[..., 1].astype(jnp.float32), 0.0, H - 1)
+
+    x0 = jnp.floor(sx)
+    y0 = jnp.floor(sy)
+    wx = (sx - x0)[..., None]
+    wy = (sy - y0)[..., None]
+    idx = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(B, H * W, 1)
+
+    g = jnp.take_along_axis(corners, idx, axis=1).reshape(B, H, W, 4)
+
+    def unpack(v):
+        return jnp.stack(
+            [(v & 0xFF).astype(jnp.float32),
+             ((v >> 8) & 0xFF).astype(jnp.float32),
+             ((v >> 16) & 0xFF).astype(jnp.float32)], axis=-1) * (1.0 / 255.0)
+
+    v00 = unpack(g[..., 0])
+    v01 = unpack(g[..., 1])
+    v10 = unpack(g[..., 2])
+    v11 = unpack(g[..., 3])
+
+    top = v00 + (v01 - v00) * wx
+    bot = v10 + (v11 - v10) * wx
+    return top + (bot - top) * wy
+
+
 def motion_compensation(
     prev: jax.Array,
     nxt: jax.Array,
