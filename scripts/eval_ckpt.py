@@ -1,0 +1,115 @@
+"""Checkpoint quality evaluation on held-out clips.
+
+Encodes + decodes a fixed set of held-out synthetic clips (seeds disjoint
+from training) through the REAL bitstream path at several rate indices
+and reports bpp / PSNR / MS-SSIM per rate, plus a scalar BD-style summary
+(mean PSNR at mean bpp).  Used to compare checkpoints before promoting
+one to the flagship slot.
+
+Usage:
+  python scripts/eval_ckpt.py --ckpt models_ckpt/bf16-v2 [--ckpt ...]
+      [--h 240 --w 416] [--frames 9] [--rates 0,3,6]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import numpy as np
+
+
+def heldout_clips(n_clips: int, n_frames: int, h: int, w: int):
+    """Held-out content: natural-texture moving clips from seeds >= 10^6
+    (training uses the run seed's low range) + one sinusoid clip."""
+    from bench import synthetic_frames
+    from train_toy import make_batch
+
+    clips = []
+    for s in range(n_clips - 1):
+        rng = np.random.default_rng(1_000_000 + s)
+        size = max(h, w)
+        batch = make_batch(rng, n_frames, 1, size)  # [n, 1, S, S, 3]
+        frames = []
+        for t in range(n_frames):
+            rgbish = batch[t, 0, :h, :w]  # treat channels as YUV-ish
+            y = np.clip(np.round(rgbish[..., 0] * 255), 0, 255).astype(np.uint8)
+            u = np.clip(np.round(rgbish[::2, ::2, 1] * 255), 0, 255).astype(np.uint8)
+            v = np.clip(np.round(rgbish[::2, ::2, 2] * 255), 0, 255).astype(np.uint8)
+            frames.append({"y": y, "u": u[: (h + 1) // 2, : (w + 1) // 2],
+                           "v": v[: (h + 1) // 2, : (w + 1) // 2]})
+        clips.append(frames)
+    clips.append(synthetic_frames(n_frames, h, w, seed=777))
+    return clips
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", action="append", default=[],
+                    help="checkpoint dir (repeatable)")
+    ap.add_argument("--h", type=int, default=240)
+    ap.add_argument("--w", type=int, default=416)
+    ap.add_argument("--frames", type=int, default=9)
+    ap.add_argument("--clips", type=int, default=3)
+    ap.add_argument("--gop_size", type=int, default=8)
+    ap.add_argument("--rates", default="0,3,6")
+    ap.add_argument("--wave_batch", type=int, default=4)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video, evaluate_frames
+    from aivc_tpu.utils.checkpoint import load_checkpoint
+
+    rates = [float(r) for r in args.rates.split(",")]
+    clips = heldout_clips(args.clips, args.frames, args.h, args.w)
+
+    for ckpt in args.ckpt or ["models_ckpt/bf16-toy"]:
+        cfg, params = load_checkpoint(ckpt)
+        codec = FrameCodec(cfg, params, args.h, args.w)
+        summary = []
+        for r in rates:
+            coding = CodingConfig(coding_config="RA", gop_size=args.gop_size,
+                                  intra_period=args.gop_size, idx_rate=r)
+            bpps, psnrs, mss = [], [], []
+            for frames in clips:
+                res = encode_video(codec, frames, coding,
+                                   wave_batch=args.wave_batch)
+                dec = decode_video(codec, res.bitstream,
+                                   wave_batch=args.wave_batch)
+                m = evaluate_frames(frames, dec)
+                bpps.append(res.total_bytes * 8.0
+                            / (args.h * args.w * len(frames)))
+                psnrs.append(m["psnr"])
+                mss.append(m["ms_ssim"])
+            row = {"ckpt": ckpt, "idx_rate": r,
+                   "bpp": round(float(np.mean(bpps)), 4),
+                   "psnr": round(float(np.mean(psnrs)), 3),
+                   "ms_ssim": round(float(np.mean(mss)), 5)}
+            summary.append(row)
+            print(json.dumps(row), flush=True)
+        print(json.dumps({
+            "ckpt": ckpt,
+            "mean_bpp": round(float(np.mean([r["bpp"] for r in summary])), 4),
+            "mean_psnr": round(float(np.mean([r["psnr"] for r in summary])), 3),
+            "mean_ms_ssim": round(
+                float(np.mean([r["ms_ssim"] for r in summary])), 5),
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
