@@ -246,9 +246,14 @@ def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
         x = (q << PROB_BITS) + (x - q * freq) + start
         return x, (word, emit)
 
+    # The scan bodies are a handful of [K]-wide integer ops — per-step
+    # fixed overhead (loop bookkeeping, buffer threading) dominates, so
+    # unroll several steps per loop iteration.  Unrolling changes no
+    # values, only scheduling: bitstreams are unchanged.
+    unroll = 8 if s_steps >= 64 else 1
     x0 = jnp.full((k,), RANS_L, dtype=_U32)
     states, (words, flags) = jax.lax.scan(step, x0, (start2, freq2),
-                                          reverse=True)
+                                          reverse=True, unroll=unroll)
 
     # Compact flagged words into decode order (steps ascending, lanes
     # ascending within a step) with a second forward scan: each step packs
@@ -270,7 +275,7 @@ def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
 
     out0 = jnp.zeros((n_pad + k,), jnp.uint16)
     (buf, total), _ = jax.lax.scan(pack_step, (out0, jnp.int32(0)),
-                                   (words, flags))
+                                   (words, flags), unroll=unroll)
     if segment_steps:
         if sum(segment_steps) != s_steps:
             raise ValueError("segment_steps must sum to the step count")
@@ -335,7 +340,8 @@ def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
         return (x, g + need_i.sum()), s
 
     (xf, gf), syms = jax.lax.scan(
-        step, (states, jnp.asarray(g0, jnp.int32)), rows2)
+        step, (states, jnp.asarray(g0, jnp.int32)), rows2,
+        unroll=8 if s_steps >= 64 else 1)
     syms = syms.reshape(n_pad)[:n]
     if return_carry:
         return syms, xf, gf
@@ -574,6 +580,258 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
     if return_carry:
         return syms, states_o.reshape(b, k), g_o.reshape(b)
     return syms
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU encode kernel
+# ---------------------------------------------------------------------------
+# The XLA encode path is two sequential scans (rANS arithmetic + word
+# compaction) whose per-step work is a handful of [K]-wide integer ops —
+# wall clock is dominated by per-step loop overhead even with unrolling.
+# This kernel runs the whole encode in one pass with everything resident
+# in VMEM, using the same building blocks as the decode kernel: one-hot
+# MXU contractions for the (start, freq) lookup, triangular-matmul prefix
+# sums for lane ranks, and one-hot shift matmuls for word placement.
+#
+# Key idea — descending write cursor: rANS encodes steps in REVERSE, but
+# the decoder consumes words with steps ASCENDING.  Instead of a second
+# forward compaction pass, the kernel writes step t's words at
+# [g - W_t, g) with a cursor g that starts at the buffer END and
+# decreases; the finished stream is buf_flat[g_final:g0], already in
+# decode order.  Exact u32 division by freq (the one primitive decode
+# does not need) is schoolbook base-512 long division in f32: every
+# intermediate is an exact integer < 2^23.
+#
+# Segment word counts (the fused-frame format's per-chunk byte split)
+# fall out of cursor snapshots at the (static) segment-start steps.
+
+_WIN_W = 32       # RMW window rows per step: >= 8 (K/128) + 1 + 15 align
+
+
+def _enc_div_u32(x, freq_f):
+    """Exact (q, rem) = divmod(x, freq) for u32 x < freq << 18.
+
+    Base-512 long division; remainders stay < freq < 2^14 so every f32
+    intermediate is an exact integer < 2^23.  The f32 division of exact
+    integers gives a quotient off by at most +1 (values >= an integer
+    never round below it); one downward fixup restores exactness.
+    """
+    chunks = ((x >> 27).astype(jnp.int32),
+              ((x >> 18) & 0x1FF).astype(jnp.int32),
+              ((x >> 9) & 0x1FF).astype(jnp.int32),
+              (x & 0x1FF).astype(jnp.int32))
+    rem = jnp.zeros(x.shape, jnp.float32)
+    q = jnp.zeros(x.shape, _U32)
+    for c in chunks:
+        r = rem * 512.0 + c.astype(jnp.float32)      # < freq * 512 < 2^23
+        qd = jnp.floor(r / freq_f)
+        rem = r - qd * freq_f
+        over = rem < 0.0
+        qd = jnp.where(over, qd - 1.0, qd)
+        rem = jnp.where(over, rem + freq_f, rem)
+        q = (q << 9) | qd.astype(jnp.int32).astype(_U32)
+    return q, rem.astype(jnp.int32).astype(_U32)
+
+
+def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
+                          words_ref, states_out_ref, segg_ref,
+                          x_ref, g_ref):
+    t = pl.program_id(1)
+    bb = pl.program_id(0)
+    wrb = words_ref.shape[1]
+    g0 = (wrb - _WIN_W) * 128
+
+    @pl.when(t == 0)
+    def _():
+        x_ref[:] = jnp.full((_SUB, 128), RANS_L, _U32)
+        g_ref[0] = g0
+        words_ref[0] = jnp.zeros((wrb, 128), jnp.uint16)
+
+    s = sym_ref[0]                                   # [8, 128] i32 symbol
+    r = rows_ref[0]                                  # [8, 128] i32 row
+
+    # (start, freq) lookup — identical scheme to the decode kernel.
+    n_rows = cdf_ref.shape[0]
+    oh_r = (r[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (_SUB, 128, n_rows), 2)).astype(jnp.float32)
+    rc = jax.lax.dot_general(
+        oh_r, cdf_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
+    e512 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 128, 512), 2)
+    oh_s0 = (e512 == (s - 1)[:, :, None]).astype(jnp.float32)
+    oh_s1 = (e512 == s[:, :, None]).astype(jnp.float32)
+    start_f = jnp.sum(rc * oh_s0, axis=2)                # 0 when s == 0
+    nxt_f = jnp.sum(rc * oh_s1, axis=2)
+    freq_f = nxt_f - start_f
+    start = start_f.astype(jnp.int32).astype(_U32)
+    freq_u = freq_f.astype(jnp.int32).astype(_U32)
+
+    # rANS step (reverse order: the grid index map feeds blocks reversed).
+    x = x_ref[:]
+    # emit iff x >= freq << 18; both sides < 2^14 after >> 18 (sign-safe).
+    emit = (x >> 18).astype(jnp.int32) >= freq_f.astype(jnp.int32)
+    word = (x & _MASK16).astype(jnp.int32)           # captured pre-renorm
+    x = jnp.where(emit, x >> 16, x)
+    q, rem = _enc_div_u32(x, freq_f)
+    x_ref[:] = (q << PROB_BITS) + rem + start
+
+    # Lane ranks in row-major (sublane, lane) order — triangular matmuls.
+    emit_i = emit.astype(jnp.int32)
+    emit_f = emit_i.astype(jnp.float32)
+    lt128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+             <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+             ).astype(jnp.float32)
+    row_c = jax.lax.dot_general(
+        emit_f, lt128, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)          # [8, 128] inclusive
+    row_tot = row_c[:, 127:128]                      # [8, 1] per-sublane
+    lt8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
+           <= jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
+           ).astype(jnp.float32)
+    base_excl = jax.lax.dot_general(
+        row_tot.reshape(1, 8), lt8,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).reshape(8, 1) - row_tot
+    # inclusive in-row count minus emit = exclusive rank WITHIN the row
+    local_rank = row_c.astype(jnp.int32) - emit_i
+
+    w_t = jnp.sum(emit_i)
+    g_new = g_ref[0] - w_t
+    p0 = g_new
+    r0a = pl.multiple_of(((p0 // 128) // 16) * 16, 16)
+
+    # Per-sublane consecutive runs: sublane s's flagged words occupy
+    # [p0 + base_s, p0 + base_s + cnt_s) in lane order.  Compact each row,
+    # lane-shift it to its global offset, and accumulate a [WIN, 128]
+    # contribution via one-hot outer products.
+    word_f = word.astype(jnp.float32)
+    e128 = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
+    e128b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
+    ewin = jax.lax.broadcasted_iota(jnp.int32, (_WIN_W, 1), 0)
+    contrib = jnp.zeros((_WIN_W, 128), jnp.float32)
+    base_i = base_excl.astype(jnp.int32)             # [8, 1]
+    for srow in range(_SUB):
+        # oh_pack[l, j] = (local_rank[l] == j) & emit[l]
+        oh_pack = ((e128b == local_rank[srow][:, None])
+                   & emit[srow][:, None]).astype(jnp.float32)
+        packed = jax.lax.dot_general(
+            word_f[srow].reshape(1, 128), oh_pack,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)      # [1, 128]
+        pos_s = p0 + base_i[srow, 0]
+        qs = pos_s % 128
+        rs = pos_s // 128 - r0a
+        sh_lo = ((e128b == e128 + qs)).astype(jnp.float32)
+        sh_hi = ((e128b == e128 + qs - 128)).astype(jnp.float32)
+        low = jax.lax.dot_general(
+            packed, sh_lo, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        high = jax.lax.dot_general(
+            packed, sh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        oh_lo = (ewin == rs).astype(jnp.float32)      # [WIN, 1]
+        oh_hi = (ewin == rs + 1).astype(jnp.float32)
+        contrib = contrib + jax.lax.dot_general(
+            oh_lo, low, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        contrib = contrib + jax.lax.dot_general(
+            oh_hi, high, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    win = (words_ref[0, pl.ds(r0a, _WIN_W), :].astype(jnp.int32)
+           & 0xFFFF)
+    win = win + contrib.astype(jnp.int32)
+    words_ref[0, pl.ds(r0a, _WIN_W), :] = win.astype(jnp.uint16)
+    g_ref[0] = g_new
+
+    @pl.when(t == pl.num_programs(1) - 1)
+    def _():
+        states_out_ref[0] = x_ref[:]
+
+    # Cursor snapshots at (static) segment-start steps: segment i's words
+    # start where the cursor sits after its FIRST real step is encoded.
+    for i, t_i in enumerate(seg_ts):
+        @pl.when(t == t_i)
+        def _(i=i):
+            segg_ref[bb, i] = g_ref[0]
+
+
+def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
+                        cdf512_f32: jax.Array, n: int, k: int,
+                        pad_sym: int, segment_steps: tuple = (),
+                        interpret: bool = False):
+    """Batched Pallas encode: sym/rows i32 [B, n] -> (buf u16 [B, WRB*128],
+    states u32 [B, K], seg_g i32 [B, NSEG], g0 int).
+
+    The word stream of batch element b is buf[b, seg_g[b, 0]:g0] (decode
+    order); segment i's words are buf[b, seg_g[b, i]:seg_g[b, i + 1]]
+    with seg_g[b, NSEG] == g0.  Bit-identical to encode_impl.
+    """
+    if k != _SUB * 128:
+        raise ValueError(f"pallas encode requires K == {_SUB * 128}")
+    s_steps, n_pad = plan(n, k)
+    b = sym.shape[0]
+    sym_p = jnp.pad(sym.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
+                    constant_values=pad_sym)
+    rows_p = jnp.pad(rows.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
+    sym3 = sym_p.reshape(b, s_steps * _SUB, 128)
+    rows3 = rows_p.reshape(b, s_steps * _SUB, 128)
+
+    wr = -(-n_pad // 128)
+    wr += (-wr) % 16
+    wrb = wr + _WIN_W
+
+    segs = segment_steps if segment_steps else (s_steps,)
+    if sum(segs) != s_steps:
+        raise ValueError("segment_steps must sum to the step count")
+    starts = np.cumsum((0,) + tuple(segs))[:-1]      # real step of seg start
+    seg_ts = tuple(int(s_steps - 1 - st) for st in starts)
+
+    kern = functools.partial(_encode_pallas_kernel, seg_ts)
+    buf, states_o, seg_g = pl.pallas_call(
+        kern,
+        grid=(b, s_steps),
+        in_specs=[
+            pl.BlockSpec((1, _SUB, 128),
+                         lambda bb, t: (bb, s_steps - 1 - t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, 128),
+                         lambda bb, t: (bb, s_steps - 1 - t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((cdf512_f32.shape[0], 512),
+                         lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, wrb, 128), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, len(seg_ts)), lambda bb, t: (0, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, wrb, 128), jnp.uint16),
+            jax.ShapeDtypeStruct((b, _SUB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((b, len(seg_ts)), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, 128), _U32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        interpret=interpret,
+    )(sym3, rows3, cdf512_f32)
+    g0 = (wrb - _WIN_W) * 128
+    return buf.reshape(b, wrb * 128), states_o.reshape(b, k), seg_g, g0
+
+
+def _enc_pallas_ok(n: int, k: int) -> bool:
+    if k != _SUB * 128:
+        return False
+    _, n_pad = plan(n, k)
+    return n_pad * 2 <= 6 * 1024 * 1024
 
 
 # ---------------------------------------------------------------------------

@@ -243,7 +243,13 @@ class FrameCodec:
         4K-byte state flush stays ~<5% of the previous frame's payload,
         floored so the rANS scan stays <= 2048 steps — the sequential
         decode is LATENCY-bound per step, so deep scans dominate wall
-        clock long before the state-flush overhead matters."""
+        clock long before the state-flush overhead matters.
+        AIVC_VRANS_K overrides (tests / tuning)."""
+        import os
+
+        env_k = os.environ.get("AIVC_VRANS_K")
+        if env_k:
+            return int(env_k)
         n_total, _ = self._fused_n(frame_type, 8)
         k_lo = 8
         while n_total // k_lo > 2048:
@@ -430,6 +436,38 @@ class FrameCodec:
             parts = [_z_seg(z_qc, "z_c", k), _y_seg(q16c, binsc, k)]
             return _enc_fused(parts, tables, k)
 
+        # Pallas-encode variants: same fused stream, produced by the
+        # VMEM-resident kernel (vrans.encode_pallas_batch) — bit-identical
+        # words; only the buffer layout differs (words end at g0, the
+        # per-segment start cursors come back as seg_g).
+        def _enc_fused_pal(parts, cdf512, k, interpret):
+            sym = jnp.concatenate([p[0] for p in parts], axis=1)
+            rows = jnp.concatenate([p[1] for p in parts], axis=1)
+            segs = tuple(p[0].shape[1] // k for p in parts)
+            return vrans.encode_pallas_batch(
+                sym, rows, cdf512, n=sym.shape[1], k=k,
+                pad_sym=PAD["z_c"], segment_steps=segs, interpret=interpret)
+
+        @functools.partial(jax.jit, static_argnames=("k", "interpret"))
+        def vrenc_fused_pb_pal(z_qm, q16m, binsm, z_qc, q16c, binsc,
+                               cdf512, k, interpret=False):
+            parts = [_z_seg(z_qm, "z_m", k), _y_seg(q16m, binsm, k),
+                     _z_seg(z_qc, "z_c", k), _y_seg(q16c, binsc, k)]
+            return _enc_fused_pal(parts, cdf512, k, interpret)
+
+        @functools.partial(jax.jit, static_argnames=("k", "interpret"))
+        def vrenc_fused_i_pal(z_qc, q16c, binsc, cdf512, k,
+                              interpret=False):
+            parts = [_z_seg(z_qc, "z_c", k), _y_seg(q16c, binsc, k)]
+            return _enc_fused_pal(parts, cdf512, k, interpret)
+
+        @functools.partial(jax.jit, static_argnames=("end", "m"))
+        def window_cols(buf, end, m):
+            """buf[:, end-m:end] — the words of a descending-cursor encode
+            live at [g_final, g0), NOT at the buffer end (alignment slack
+            sits above g0)."""
+            return buf[:, end - m:end]
+
         @functools.partial(jax.jit,
                            static_argnames=("n", "k", "shape", "off"))
         def vrdec_seg_z(words, states, g0, tables, n, k, shape, off):
@@ -472,6 +510,9 @@ class FrameCodec:
 
         self._vrenc_fused_pb = vrenc_fused_pb
         self._vrenc_fused_i = vrenc_fused_i
+        self._vrenc_fused_pb_pal = vrenc_fused_pb_pal
+        self._vrenc_fused_i_pal = vrenc_fused_i_pal
+        self._window_cols = window_cols
         self._vrdec_seg_z = vrdec_seg_z
         self._vrdec_seg_y = vrdec_seg_y
         self._prefix_cols = prefix_cols
@@ -636,15 +677,46 @@ class FrameCodec:
             # right behind the transforms — still zero host sync; the
             # host later pulls only compressed words.
             kk = self._pick_k(frame_type)
-            if frame_type == FRAME_I:
-                res = self._vrenc_fused_i(z_qc, y_cqc[0], bins_c,
-                                          self.vr_enc, k=kk)
+            n_total, _ = self._fused_n(frame_type, kk)
+            pal = self._use_pallas_enc(n_total, kk)
+            if pal:
+                interp = pal == "interpret"
+                cdf512 = self.vr_dec.cdf512_f32
+                if frame_type == FRAME_I:
+                    res = self._vrenc_fused_i_pal(z_qc, y_cqc[0], bins_c,
+                                                  cdf512, k=kk,
+                                                  interpret=interp)
+                else:
+                    res = self._vrenc_fused_pb_pal(z_qm, y_cqm[0], bins_m,
+                                                   z_qc, y_cqc[0], bins_c,
+                                                   cdf512, k=kk,
+                                                   interpret=interp)
+                handles["vr"] = {"res": res, "k": kk, "fmt": "pallas"}
             else:
-                res = self._vrenc_fused_pb(z_qm, y_cqm[0], bins_m,
-                                           z_qc, y_cqc[0], bins_c,
-                                           self.vr_enc, k=kk)
-            handles["vr"] = {"res": res, "k": kk}
+                if frame_type == FRAME_I:
+                    res = self._vrenc_fused_i(z_qc, y_cqc[0], bins_c,
+                                              self.vr_enc, k=kk)
+                else:
+                    res = self._vrenc_fused_pb(z_qm, y_cqm[0], bins_m,
+                                               z_qc, y_cqc[0], bins_c,
+                                               self.vr_enc, k=kk)
+                handles["vr"] = {"res": res, "k": kk, "fmt": "xla"}
         return handles
+
+    def _use_pallas_enc(self, n_total: int, k: int):
+        """Route the fused encode through the Pallas kernel?  Same stream
+        bytes either way; auto = on TPU when the chunk fits VMEM.
+        Returns False | True | 'interpret' (the latter for CPU tests)."""
+        import os
+
+        mode = os.environ.get("AIVC_VRANS_ENC", "auto")
+        if mode == "xla" or not vrans._enc_pallas_ok(n_total, k):
+            return False
+        if mode == "interpret":
+            return "interpret"
+        if mode == "pallas":
+            return True
+        return jax.default_backend() == "tpu"
 
     def _fused_rows_np(self, handles, i: int):
         """Host-side reconstruction of frame i's fused (symbols, rows) —
@@ -714,22 +786,54 @@ class FrameCodec:
         if self.backend == "device":
             vr = handles["vr"]
             kk = vr["k"]
-            buf, states, totals, segw = vr["res"]
-            totals_np = np.asarray(totals)
-            states_np = np.asarray(states)
-            segw_np = np.asarray(segw)
-            mmax = int(totals_np.max())
-            rows = None
-            if mmax > 0:
-                m = vrans.bucket(mmax, buf.shape[1])
-                rows = np.asarray(self._prefix_cols(buf, m=m))
-            for i in range(k):
-                t = int(totals_np[i])
-                words = rows[i, :t] if t > 0 else np.empty(0, np.uint16)
-                # One fused chunk per frame, carried in the first present
-                # chunk slot of the reference's 4-chunk frame container.
-                per_frame_chunks[i]["codecnet_z"] = vrans.serialize_chunk(
-                    kk, states_np[i], words)
+            if vr.get("fmt") == "pallas":
+                # Kernel layout: words of frame i are buf[i, seg_g[i,0]:g0]
+                # (decode order, descending-cursor write); segment counts
+                # are cursor diffs.  One bucketed suffix pull serves the
+                # whole wave.
+                buf, states, seg_g, g0 = vr["res"]
+                g0 = int(g0)   # jit turns the static int output into an array
+                seg_g_np = np.asarray(seg_g)
+                states_np = np.asarray(states)
+                totals_np = g0 - seg_g_np[:, 0]
+                bounds = np.concatenate(
+                    [seg_g_np, np.full((k, 1), g0, seg_g_np.dtype)], axis=1)
+                segw_np = np.diff(bounds, axis=1)
+                if seg_g_np.shape[1] == 2:   # I-frame: [z_c, y_c]
+                    segw_np = np.concatenate(
+                        [np.zeros((k, 2), segw_np.dtype), segw_np], axis=1)
+                mmax = int(totals_np.max())
+                rows = None
+                if mmax > 0:
+                    m = vrans.bucket(mmax, g0)
+                    rows = np.asarray(self._window_cols(buf, end=g0, m=m))
+                for i in range(k):
+                    t = int(totals_np[i])
+                    words = (rows[i, rows.shape[1] - t:]
+                             if t > 0 else np.empty(0, np.uint16))
+                    per_frame_chunks[i]["codecnet_z"] = \
+                        vrans.serialize_chunk(kk, states_np[i], words)
+            else:
+                buf, states, totals, segw = vr["res"]
+                totals_np = np.asarray(totals)
+                states_np = np.asarray(states)
+                segw_np = np.asarray(segw)
+                if segw_np.shape[1] == 2:    # I-frame: align to 4 columns
+                    segw_np = np.concatenate(
+                        [np.zeros((k, 2), segw_np.dtype), segw_np], axis=1)
+                mmax = int(totals_np.max())
+                rows = None
+                if mmax > 0:
+                    m = vrans.bucket(mmax, buf.shape[1])
+                    rows = np.asarray(self._prefix_cols(buf, m=m))
+                for i in range(k):
+                    t = int(totals_np[i])
+                    words = rows[i, :t] if t > 0 else np.empty(0, np.uint16)
+                    # One fused chunk per frame, carried in the first
+                    # present chunk slot of the reference's 4-chunk frame
+                    # container.
+                    per_frame_chunks[i]["codecnet_z"] = \
+                        vrans.serialize_chunk(kk, states_np[i], words)
             if frame_type == FRAME_I:
                 for s in stats:
                     s["alpha_mean"] = 1.0

@@ -1,0 +1,111 @@
+"""Microbenchmark of the device rANS encode/decode programs.
+
+The shared-relay TPU backend acks block_until_ready before work completes;
+a scalar device->host pull is the only reliable sync (see
+scripts/warp_bench.py), so every rep ends by pulling the word-count
+scalar / the first symbol.
+
+Usage:
+  python scripts/vrans_bench.py [--n 1900544] [--k 1024] [--reps 5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    # default n: one B-frame's fused stream at 1080p for the base config
+    # (z_m 24480 + y_m 783360 + z_c 32640 + y_c 1044480, each padded to K)
+    ap.add_argument("--n", type=int, default=1900544)
+    ap.add_argument("--k", type=int, default=1024)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--rows", type=int, default=176,
+                    help="CDF row count (z channels + sigma bins)")
+    args = ap.parse_args()
+
+    from aivc_tpu.coding import vrans
+    from aivc_tpu.coding.cdf import build_laplace_table
+
+    rng = np.random.default_rng(0)
+    lap = build_laplace_table(scale=vrans.PROB_SCALE)  # [64, 513]
+    reps_rows = -(-args.rows // lap.shape[0])
+    cdf = np.concatenate([lap] * reps_rows, axis=0)[: args.rows]
+    enc_t = vrans.make_enc_tables(cdf)
+    dec_t = vrans.make_dec_tables(cdf)
+
+    n, k, b = args.n, args.k, args.batch
+    # Laplace-ish symbols centred on 256 (mostly near-zero residuals)
+    sym = np.clip(np.round(rng.laplace(0, 3.0, size=(b, n))), -255, 255
+                  ).astype(np.int32) + 256
+    rows = rng.integers(0, args.rows, size=(b, n), dtype=np.int32)
+    sym_d = jnp.asarray(sym)
+    rows_d = jnp.asarray(rows)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("n", "k"))
+    def enc(sym, rows, tables, n, k):
+        return jax.vmap(lambda s, r: vrans.encode_impl(
+            s, r, tables, n=n, k=k, n_sym=tables.n_symbols,
+            pad_sym=tables.pad_sym))(sym, rows)
+
+    def run_enc():
+        buf, states, total = enc(sym_d, rows_d, enc_t, n, k)
+        t = np.asarray(total)  # forced pull = real sync
+        return buf, states, t
+
+    # warm-up + correctness vs chunk decode
+    buf, states, total = run_enc()
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run_enc()
+        times.append(time.perf_counter() - t0)
+    print(f"encode fused  n={n} k={k} b={b}: {min(times)*1e3:9.2f} ms "
+          f"({min(times)*1e3/b:.2f} ms/chunk, {int(total.max())} words max)")
+
+    # decode: words on device, forced pull of one symbol
+    _, n_pad = vrans.plan(n, k)
+    m = vrans.bucket(int(total.max()), n_pad)
+    wb = np.asarray(buf)[:, :m]
+    words_d = jnp.asarray(wb)
+    states_d = jnp.asarray(np.asarray(states))
+
+    def run_dec():
+        syms = vrans.decode_batch(words_d, states_d, rows_d, dec_t, n=n, k=k)
+        return np.asarray(syms[:, :1])
+
+    run_dec()
+    times = []
+    for _ in range(args.reps):
+        t0 = time.perf_counter()
+        run_dec()
+        times.append(time.perf_counter() - t0)
+    print(f"decode fused  n={n} k={k} b={b}: {min(times)*1e3:9.2f} ms "
+          f"({min(times)*1e3/b:.2f} ms/chunk)")
+
+    # lossless check
+    syms = np.asarray(vrans.decode_batch(words_d, states_d, rows_d, dec_t,
+                                         n=n, k=k))
+    assert np.array_equal(syms, sym), "round trip mismatch"
+    print("lossless: ok")
+
+
+if __name__ == "__main__":
+    main()

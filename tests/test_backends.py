@@ -88,3 +88,28 @@ def test_wave_batched_device_backend(codec_dev):
     res = encode_video(codec_dev, frames, cfg, wave_batch=4)
     dec = decode_video(codec_dev, res.bitstream, wave_batch=4)
     _assert_bit_exact(res, dec)
+
+
+def test_pallas_encode_path_bitstream_identical(params, monkeypatch):
+    """The Pallas fused-encode route (interpret mode on CPU) must produce a
+    byte-identical video bitstream to the XLA scan route, through the full
+    pipeline (launch/finish, suffix pull, segment stats)."""
+    frames = _synthetic_frames(5)
+    coding = CodingConfig(coding_config="RA", gop_size=4, intra_period=4)
+
+    monkeypatch.setenv("AIVC_VRANS_K", "1024")
+    monkeypatch.setenv("AIVC_VRANS_ENC", "xla")
+    codec_a = FrameCodec(TINY, params, H, W, entropy_backend="device")
+    res_a = encode_video(codec_a, frames, coding, wave_batch=2)
+
+    monkeypatch.setenv("AIVC_VRANS_ENC", "interpret")
+    codec_b = FrameCodec(TINY, params, H, W, entropy_backend="device")
+    res_b = encode_video(codec_b, frames, coding, wave_batch=2)
+
+    assert res_a.bitstream == res_b.bitstream
+    for fa, fb in zip(res_a.frame_results, res_b.frame_results):
+        assert (fa.bytes, fa.mode_bytes, fa.codec_bytes) == \
+            (fb.bytes, fb.mode_bytes, fb.codec_bytes)
+
+    dec = decode_video(codec_a, res_b.bitstream, wave_batch=2)
+    _assert_bit_exact(res_a, dec)

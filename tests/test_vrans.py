@@ -292,3 +292,58 @@ def test_fused_stream_staged_decode_pallas_interpret():
         wb, st1, jnp.asarray(r2p[None]), dec.cdf512_f32, n=len(v2p), k=k,
         interpret=True, g0=g1)
     np.testing.assert_array_equal(np.asarray(s2)[0][:n2], v2)
+
+
+def test_encode_pallas_interpret_matches_xla():
+    """The Pallas ENCODE kernel (interpret mode) must produce the exact
+    word stream, final states and per-segment word counts of encode_impl —
+    validates the descending-cursor write, the base-512 exact division and
+    the one-hot placement matmuls without TPU hardware."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(33)
+    cdf_rows = build_laplace_table(scale=vrans.PROB_SCALE)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    k = vrans._SUB * 128
+    n = 3 * k + 517                      # pad case; S = 4 steps
+    s_steps, n_pad = vrans.plan(n, k)
+    segs = (1, s_steps - 1)
+    b = 2
+    # Full symbol range incl. tails (freq == 1 stresses the division) and
+    # high-sigma rows.
+    vals = np.clip(np.round(rng.laplace(0, 40.0, size=(b, n))), -255, 255
+                   ).astype(np.int32) + 256
+    rows = rng.integers(0, cdf_rows.shape[0], size=(b, n)).astype(np.int32)
+
+    ref_buf, ref_states, ref_total, ref_segw = jax.vmap(
+        lambda s, r: vrans.encode_impl(
+            s, r, enc, n=n, k=k, n_sym=enc.n_symbols,
+            pad_sym=enc.pad_sym, segment_steps=segs)
+    )(jnp.asarray(vals), jnp.asarray(rows))
+
+    buf, states, seg_g, g0 = vrans.encode_pallas_batch(
+        jnp.asarray(vals), jnp.asarray(rows), enc.cdf_f32[:, 1:],
+        n=n, k=k, pad_sym=enc.pad_sym, segment_steps=segs, interpret=True)
+
+    buf = np.asarray(buf)
+    seg_g = np.asarray(seg_g)
+    states = np.asarray(states)
+    for i in range(b):
+        total = int(np.asarray(ref_total)[i])
+        words_ref = np.asarray(ref_buf)[i, :total]
+        words_pal = buf[i, seg_g[i, 0]:g0]
+        np.testing.assert_array_equal(words_pal, words_ref)
+        np.testing.assert_array_equal(states[i], np.asarray(ref_states)[i])
+        bounds = np.concatenate([seg_g[i], [g0]])
+        np.testing.assert_array_equal(np.diff(bounds),
+                                      np.asarray(ref_segw)[i])
+        # and the stream decodes
+        _, n_pad = vrans.plan(n, k)
+        w = np.zeros((1, n_pad), np.uint16)
+        w[0, :words_pal.size] = words_pal
+        out = vrans.decode_batch(jnp.asarray(w), jnp.asarray(states[i])[None],
+                                 jnp.asarray(rows[i])[None], dec, n=n, k=k,
+                                 method="gather")
+        np.testing.assert_array_equal(np.asarray(out)[0], vals[i])
