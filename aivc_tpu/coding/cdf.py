@@ -47,7 +47,7 @@ def quantize_pmf(pmf: np.ndarray, scale: int = PROB_SCALE) -> np.ndarray:
 
     Args:
       pmf: [n_rows, N_SYMBOLS] nonnegative float64.
-      scale: total integer frequency (host coder: 2^16; device vrans: 2^14).
+      scale: total integer frequency (2^16 for both backends).
     Returns:
       [n_rows, N_SYMBOLS + 1] uint32 with cdf[:,0]=0, cdf[:,-1]=scale,
       every symbol frequency >= 1 (so any clamped symbol stays codable).

@@ -19,7 +19,7 @@ Design (the TPU-native analogue of multi-stream GPU entropy coders):
   contiguous vector of K symbols.  K is chosen from n alone and recorded
   in the chunk header.
 * Word-based rANS: 32-bit state x in [2^16, 2^32), 16-bit renormalization,
-  PROB_BITS = 14.  One conditional emission per symbol per step (encode)
+  PROB_BITS = 16.  One conditional emission per symbol per step (encode)
   and one conditional read (decode), the standard single-renorm invariant.
 * Encode scans steps in REVERSE (rANS is LIFO), recording a (word, flag)
   pair per (step, lane); a cumsum + scatter compacts the flagged words
@@ -39,12 +39,12 @@ Chunk wire format (payload of one coded latent chunk):
   [K*4B BE final states]
   [W*2B BE words]
 
-Tables: integer CDF rows quantized to PROB_SCALE = 2^14 (coding/cdf.py
+Tables: integer CDF rows quantized to PROB_SCALE = 2^16 (coding/cdf.py
 quantize_pmf with scale=PROB_SCALE), packed for single-gather access:
 
   enc_pack[r, s]    = start | freq << 16          (u32, [R, 512])
-  dec_sym[r, slot]  = symbol                       (i32, [R, 16384])
-  dec_pack[r, slot] = start | freq << 16          (u32, [R, 16384])
+  dec_sym[r, slot]  = symbol                     (i32, [R, 65536], CPU)
+  dec_pack[r, slot] = start | freq << 16        (u32, [R, 65536], CPU)
 """
 
 from __future__ import annotations
@@ -58,7 +58,14 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-PROB_BITS = 14
+PROB_BITS = 16            # CDF quantization: min symbol cost 2^-16
+# 16 matches the reference's torchac CDF resolution (PROBA_MIN = 2^-16,
+# reference: src/func_util/math_func.py:20-24): near-deterministic rows
+# (zero latents under a tiny sigma) cost ~0.011 bits/symbol instead of
+# the ~0.045 a 14-bit table floors at — several KB/frame at 1080p.
+# Exactness everywhere still holds: CDF values < 2^16 < 2^24 are exact
+# in f32, and the encode division uses base-256 chunks (remainder
+# accumulators < freq * 256 < 2^24).
 PROB_SCALE = 1 << PROB_BITS
 RANS_L = 1 << 16          # state lower bound; emit/read 16-bit words
 K_MIN = 8
@@ -101,10 +108,15 @@ class EncTables(NamedTuple):
 
 
 class DecTables(NamedTuple):
-    """Device-side tables for decoding (slot-indexed inverse CDF)."""
+    """Device-side tables for decoding.
 
-    sym: jax.Array       # i32 [R * PROB_SCALE]
-    pack: jax.Array      # u32 [R * PROB_SCALE] start | freq << 16
+    sym/pack are the slot-indexed inverse CDF used only by the 'gather'
+    method (CPU); at PROB_SCALE = 2^16 they are [R, 65536] — built only
+    when the default backend is not TPU (TPU decodes via the comparison
+    method / the Pallas kernel, which need just the CDF rows)."""
+
+    sym: Optional[jax.Array]       # i32 [R * PROB_SCALE] | None
+    pack: Optional[jax.Array]      # u32 [R * PROB_SCALE] | None
     cdf_f32: jax.Array   # f32 [R, N_SYMBOLS + 1]
     cdf512_f32: jax.Array  # f32 [R, N_SYMBOLS] = cdf_f32[:, 1:] (pallas)
     n_symbols: int
@@ -129,22 +141,29 @@ def make_enc_tables(cdf_rows: np.ndarray) -> EncTables:
     )
 
 
-def make_dec_tables(cdf_rows: np.ndarray) -> DecTables:
+def make_dec_tables(cdf_rows: np.ndarray,
+                    inverse: Optional[bool] = None) -> DecTables:
     cdf_rows = np.asarray(cdf_rows, dtype=np.uint32)
     n_sym = cdf_rows.shape[1] - 1
-    start = cdf_rows[:, :-1]
-    freq = np.diff(cdf_rows.astype(np.int64), axis=1).astype(np.uint32)
-    # inverse CDF: slot -> symbol, per row (vectorized via searchsorted)
-    slots = np.arange(PROB_SCALE, dtype=np.uint32)
-    sym = np.empty((cdf_rows.shape[0], PROB_SCALE), dtype=np.int32)
-    for r in range(cdf_rows.shape[0]):
-        sym[r] = np.searchsorted(cdf_rows[r], slots, side="right") - 1
-    rows = np.arange(cdf_rows.shape[0])[:, None]
-    pack = (start[rows, sym] | (freq[rows, sym] << 16)).astype(np.uint32)
     cdf_f32 = cdf_rows.astype(np.float32)
+    if inverse is None:
+        inverse = jax.default_backend() != "tpu"
+    sym_j = pack_j = None
+    if inverse:
+        start = cdf_rows[:, :-1]
+        freq = np.diff(cdf_rows.astype(np.int64), axis=1).astype(np.uint32)
+        # inverse CDF: slot -> symbol, per row (via searchsorted)
+        slots = np.arange(PROB_SCALE, dtype=np.uint32)
+        sym = np.empty((cdf_rows.shape[0], PROB_SCALE), dtype=np.int32)
+        for r in range(cdf_rows.shape[0]):
+            sym[r] = np.searchsorted(cdf_rows[r], slots, side="right") - 1
+        rows = np.arange(cdf_rows.shape[0])[:, None]
+        pack = (start[rows, sym] | (freq[rows, sym] << 16)).astype(np.uint32)
+        sym_j = jnp.asarray(sym.reshape(-1))
+        pack_j = jnp.asarray(pack.reshape(-1))
     return DecTables(
-        sym=jnp.asarray(sym.reshape(-1)),
-        pack=jnp.asarray(pack.reshape(-1)),
+        sym=sym_j,
+        pack=pack_j,
         cdf_f32=jnp.asarray(cdf_f32),
         cdf512_f32=jnp.asarray(np.ascontiguousarray(cdf_f32[:, 1:])),
         n_symbols=n_sym,
@@ -158,7 +177,7 @@ def make_dec_tables(cdf_rows: np.ndarray) -> DecTables:
 #   HBM gathers don't vectorize).
 # 'matmul': one-hot [K, R] x cdf [R, 513] matmul (MXU) + comparison/
 #   masked-reduce selects, no gathers.  EXACTNESS: one operand is exactly
-#   {0, 1} and CDF values are integers < 2^14, so every product and the
+#   {0, 1} and CDF values are integers <= 2^16 < 2^24, so every product and the
 #   single-nonzero accumulation are exact in f32 at HIGHEST precision.
 #   Both strategies therefore produce IDENTICAL bitstreams; the choice is
 #   per-platform and never recorded in the stream.
@@ -236,7 +255,7 @@ def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
 
     def step(x, inp):
         start, freq = inp
-        # x_max = ((RANS_L >> PROB_BITS) << 16) * freq; freq < 2^14 so the
+        # x_max = ((RANS_L >> PROB_BITS) << 16) * freq; freq <= 2^16 - 511 so the
         # u32 shift cannot overflow.
         x_max = freq << (32 - PROB_BITS)
         emit = x >= x_max
@@ -365,7 +384,7 @@ _decode_core = jax.jit(
 #
 #   * slot -> (sym, start, freq): rc = onehot(rows) @ cdf  ([8,128,512]),
 #     sym by counting rc <= slot, start/next by one-hot selects — exact
-#     in f32 (values < 2^14, one-hot operands are {0,1}).
+#     in f32 (values <= 2^16 < 2^24, one-hot operands are {0,1}).
 #   * word feed: a 128-aligned dynamic window of the word stream is
 #     sliced per step and distributed to the lanes that renormalize via a
 #     (window-row one-hot) x (window-lane one-hot) contraction — exact in
@@ -609,27 +628,27 @@ _WIN_W = 32       # RMW window rows per step: >= 8 (K/128) + 1 + 15 align
 
 
 def _enc_div_u32(x, freq_f):
-    """Exact (q, rem) = divmod(x, freq) for u32 x < freq << 18.
+    """Exact (q, rem) = divmod(x, freq) for u32 x, freq < 2^PROB_BITS.
 
-    Base-512 long division; remainders stay < freq < 2^14 so every f32
-    intermediate is an exact integer < 2^23.  The f32 division of exact
+    Base-256 long division; remainders stay < freq <= 2^16 so every f32
+    intermediate is an exact integer < 2^24.  The f32 division of exact
     integers gives a quotient off by at most +1 (values >= an integer
     never round below it); one downward fixup restores exactness.
     """
-    chunks = ((x >> 27).astype(jnp.int32),
-              ((x >> 18) & 0x1FF).astype(jnp.int32),
-              ((x >> 9) & 0x1FF).astype(jnp.int32),
-              (x & 0x1FF).astype(jnp.int32))
+    chunks = ((x >> 24).astype(jnp.int32),
+              ((x >> 16) & 0xFF).astype(jnp.int32),
+              ((x >> 8) & 0xFF).astype(jnp.int32),
+              (x & 0xFF).astype(jnp.int32))
     rem = jnp.zeros(x.shape, jnp.float32)
     q = jnp.zeros(x.shape, _U32)
     for c in chunks:
-        r = rem * 512.0 + c.astype(jnp.float32)      # < freq * 512 < 2^23
+        r = rem * 256.0 + c.astype(jnp.float32)      # < freq * 256 < 2^24
         qd = jnp.floor(r / freq_f)
         rem = r - qd * freq_f
         over = rem < 0.0
         qd = jnp.where(over, qd - 1.0, qd)
         rem = jnp.where(over, rem + freq_f, rem)
-        q = (q << 9) | qd.astype(jnp.int32).astype(_U32)
+        q = (q << 8) | qd.astype(jnp.int32).astype(_U32)
     return q, rem.astype(jnp.int32).astype(_U32)
 
 
@@ -670,8 +689,10 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
 
     # rANS step (reverse order: the grid index map feeds blocks reversed).
     x = x_ref[:]
-    # emit iff x >= freq << 18; both sides < 2^14 after >> 18 (sign-safe).
-    emit = (x >> 18).astype(jnp.int32) >= freq_f.astype(jnp.int32)
+    # emit iff x >= freq << (32 - PROB_BITS); after the shift both sides
+    # are < 2^PROB_BITS <= 2^16, so the i32 comparison is sign-safe.
+    emit = ((x >> (32 - PROB_BITS)).astype(jnp.int32)
+            >= freq_f.astype(jnp.int32))
     word = (x & _MASK16).astype(jnp.int32)           # captured pre-renorm
     x = jnp.where(emit, x >> 16, x)
     q, rem = _enc_div_u32(x, freq_f)

@@ -190,7 +190,7 @@ class FrameCodec:
 
         self.laplace_rows = build_laplace_table()
         self.z_rows = {}
-        # Device-backend tables at the vrans scale (2^14): one FUSED row
+        # Device-backend tables at the vrans scale (2^16): one FUSED row
         # space [mofnet-z channels | codecnet-z channels | y sigma bins]
         # so a whole frame's latents ride ONE interleaved rANS stream
         # (per-frame overhead = one K-state flush instead of four).

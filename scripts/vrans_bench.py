@@ -80,6 +80,42 @@ def main():
     print(f"encode fused  n={n} k={k} b={b}: {min(times)*1e3:9.2f} ms "
           f"({min(times)*1e3/b:.2f} ms/chunk, {int(total.max())} words max)")
 
+    # Pallas encode kernel (same stream bytes; VMEM-resident)
+    if vrans._enc_pallas_ok(n, k) and k == vrans._SUB * 128:
+        cdf512 = enc_t.cdf_f32[:, 1:]
+
+        @functools.partial(jax.jit, static_argnames=("n", "k"))
+        def enc_pal(sym, rows, cdf512, n, k):
+            return vrans.encode_pallas_batch(sym, rows, cdf512, n=n, k=k,
+                                             pad_sym=enc_t.pad_sym)
+
+        def run_enc_pal():
+            buf_p, st_p, seg_g, g0 = enc_pal(sym_d, rows_d, cdf512, n, k)
+            gmin = np.asarray(seg_g)  # forced pull = real sync
+            return buf_p, st_p, gmin, int(g0)
+
+        try:
+            buf_p, st_p, seg_g, g0 = run_enc_pal()
+            times = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                run_enc_pal()
+                times.append(time.perf_counter() - t0)
+            print(f"encode pallas n={n} k={k} b={b}: {min(times)*1e3:9.2f} ms "
+                  f"({min(times)*1e3/b:.2f} ms/chunk)")
+            # exactness vs the XLA stream
+            bp = np.asarray(buf_p)
+            tot = np.asarray(total)
+            bx = np.asarray(buf)
+            for i in range(b):
+                w_pal = bp[i, int(seg_g[i, 0]):g0]
+                assert np.array_equal(w_pal, bx[i, :int(tot[i])]), \
+                    f"pallas/xla stream mismatch at {i}"
+            assert np.array_equal(np.asarray(st_p), np.asarray(states))
+            print("pallas == xla stream: ok")
+        except Exception as e:  # Mosaic lowering may fail on some toolchains
+            print(f"encode pallas FAILED: {type(e).__name__}: {e}")
+
     # decode: words on device, forced pull of one symbol
     _, n_pad = vrans.plan(n, k)
     m = vrans.bucket(int(total.max()), n_pad)

@@ -137,7 +137,7 @@ def test_explicit_k_override_roundtrips():
 
 
 def test_laplace_table_parity_with_host_scale():
-    """The 2^14-scale Laplace table stays a valid distribution per row."""
+    """The vrans-scale Laplace table stays a valid distribution per row."""
     t = build_laplace_table(scale=vrans.PROB_SCALE)
     assert t.shape[1] == N_SYMBOLS + 1
     assert (t[:, -1] == vrans.PROB_SCALE).all()
