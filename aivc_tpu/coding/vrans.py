@@ -516,7 +516,8 @@ def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
     fused frame stream (see decode_impl).
     """
     if method == "auto":
-        if jax.default_backend() == "tpu" and _pallas_ok(n, k):
+        if (jax.default_backend() == "tpu" and _pallas_ok(n, k)
+                and pallas_runtime_ok("dec")):
             method = "pallas"
         else:
             method = _default_method()
@@ -631,9 +632,10 @@ def _enc_div_u32(x, freq_f):
     """Exact (q, rem) = divmod(x, freq) for u32 x, freq < 2^PROB_BITS.
 
     Base-256 long division; remainders stay < freq <= 2^16 so every f32
-    intermediate is an exact integer < 2^24.  The f32 division of exact
-    integers gives a quotient off by at most +1 (values >= an integer
-    never round below it); one downward fixup restores exactness.
+    intermediate is an exact integer < 2^24.  TPU f32 division is
+    reciprocal-based (NOT correctly rounded, either direction), but each
+    chunk quotient is < 256 so the error is far below one unit: one
+    fixup in each direction restores exactness.
     """
     chunks = ((x >> 24).astype(jnp.int32),
               ((x >> 16) & 0xFF).astype(jnp.int32),
@@ -648,6 +650,9 @@ def _enc_div_u32(x, freq_f):
         over = rem < 0.0
         qd = jnp.where(over, qd - 1.0, qd)
         rem = jnp.where(over, rem + freq_f, rem)
+        under = rem >= freq_f
+        qd = jnp.where(under, qd + 1.0, qd)
+        rem = jnp.where(under, rem - freq_f, rem)
         q = (q << 8) | qd.astype(jnp.int32).astype(_U32)
     return q, rem.astype(jnp.int32).astype(_U32)
 
@@ -715,8 +720,13 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
         row_tot.reshape(1, 8), lt8,
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32).reshape(8, 1) - row_tot
-    # inclusive in-row count minus emit = exclusive rank WITHIN the row
-    local_rank = row_c.astype(jnp.int32) - emit_i
+    # inclusive in-row count minus emit = exclusive rank WITHIN the row;
+    # non-emitting lanes get rank -1 (matches no one-hot column) so the
+    # pack mask below is a single i32 comparison — Mosaic cannot reshape
+    # 1-D i1 vectors ("minor dim insertion only for 32-bit types"), so
+    # the bool mask must never be sliced per sublane.
+    local_rank = jnp.where(emit, row_c.astype(jnp.int32) - emit_i,
+                           jnp.int32(-1))
 
     w_t = jnp.sum(emit_i)
     g_new = g_ref[0] - w_t
@@ -734,9 +744,9 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
     contrib = jnp.zeros((_WIN_W, 128), jnp.float32)
     base_i = base_excl.astype(jnp.int32)             # [8, 1]
     for srow in range(_SUB):
-        # oh_pack[l, j] = (local_rank[l] == j) & emit[l]
-        oh_pack = ((e128b == local_rank[srow][:, None])
-                   & emit[srow][:, None]).astype(jnp.float32)
+        # oh_pack[l, j] = (local_rank[l] == j); non-emitting lanes carry
+        # rank -1 and match nothing.
+        oh_pack = (e128b == local_rank[srow][:, None]).astype(jnp.float32)
         packed = jax.lax.dot_general(
             word_f[srow].reshape(1, 128), oh_pack,
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -747,20 +757,28 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
         rs = pos_s // 128 - r0a
         sh_lo = ((e128b == e128 + qs)).astype(jnp.float32)
         sh_hi = ((e128b == e128 + qs - 128)).astype(jnp.float32)
+        # Every dot whose non-one-hot operand carries WORD VALUES (up to
+        # 2^16) must run at HIGHEST precision: the MXU's default f32 mode
+        # multiplies bf16-truncated operands, which zeroes the low 8 bits
+        # of the words (caught on hardware; interpret mode is full f32).
         low = jax.lax.dot_general(
             packed, sh_lo, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         high = jax.lax.dot_general(
             packed, sh_hi, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         oh_lo = (ewin == rs).astype(jnp.float32)      # [WIN, 1]
         oh_hi = (ewin == rs + 1).astype(jnp.float32)
         contrib = contrib + jax.lax.dot_general(
             oh_lo, low, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
         contrib = contrib + jax.lax.dot_general(
             oh_hi, high, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST)
 
     win = (words_ref[0, pl.ds(r0a, _WIN_W), :].astype(jnp.int32)
            & 0xFFFF)
@@ -853,6 +871,46 @@ def _enc_pallas_ok(n: int, k: int) -> bool:
         return False
     _, n_pad = plan(n, k)
     return n_pad * 2 <= 6 * 1024 * 1024
+
+
+# One-time runtime probes: Mosaic lowering depends on the toolchain, so
+# "compiles in interpret mode" does not guarantee "lowers on this TPU"
+# (a 1-D i1 reshape and default-precision word matmuls both bit us on
+# hardware).  Auto mode probe-compiles each kernel once per process and
+# quietly falls back to the bit-identical XLA route on ANY failure — a
+# kernel regression must never take down encoding itself.
+_PALLAS_PROBE: dict = {}
+
+
+def pallas_runtime_ok(kind: str) -> bool:
+    got = _PALLAS_PROBE.get(kind)
+    if got is None:
+        k = _SUB * 128
+        try:
+            cdf = np.zeros((1, 513), np.uint32)
+            cdf[0] = np.arange(513, dtype=np.uint32) * (
+                PROB_SCALE // 512)
+            cdf512 = jnp.asarray(cdf[:, 1:].astype(np.float32))
+            if kind == "enc":
+                out = encode_pallas_batch(
+                    jnp.zeros((1, k), jnp.int32), jnp.zeros((1, k), jnp.int32),
+                    cdf512, n=k, k=k, pad_sym=0)
+                jax.block_until_ready(out[1])
+            else:
+                out = decode_pallas_batch(
+                    jnp.zeros((1, 4096), jnp.uint16),
+                    jnp.full((1, k), RANS_L, jnp.uint32),
+                    jnp.zeros((1, k), jnp.int32), cdf512, n=k, k=k)
+                jax.block_until_ready(out)
+            got = True
+        except Exception as e:  # noqa: BLE001 — any lowering/compile error
+            import warnings
+
+            warnings.warn(f"pallas {kind} kernel unavailable; using the "
+                          f"XLA path ({type(e).__name__})")
+            got = False
+        _PALLAS_PROBE[kind] = got
+    return got
 
 
 # ---------------------------------------------------------------------------

@@ -716,7 +716,8 @@ class FrameCodec:
             return "interpret"
         if mode == "pallas":
             return True
-        return jax.default_backend() == "tpu"
+        return (jax.default_backend() == "tpu"
+                and vrans.pallas_runtime_ok("enc"))
 
     def _fused_rows_np(self, handles, i: int):
         """Host-side reconstruction of frame i's fused (symbols, rows) —
