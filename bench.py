@@ -55,11 +55,13 @@ def main():
     from aivc_tpu.pipeline.codec import FrameCodec
     from aivc_tpu.pipeline.video import decode_video, encode_video
 
+    # Defaults match the BASELINE.json north-star config: 1080p RA GOP32
+    # (wave_batch 8 batches each hierarchical-B temporal layer).
     h = int(os.environ.get("BENCH_H", "1080"))
     w = int(os.environ.get("BENCH_W", "1920"))
-    gop_size = int(os.environ.get("BENCH_GOP", "8"))
+    gop_size = int(os.environ.get("BENCH_GOP", "32"))
     model_name = os.environ.get("BENCH_MODEL", "bf16")
-    wave_batch = int(os.environ.get("BENCH_WAVES", "4"))
+    wave_batch = int(os.environ.get("BENCH_WAVES", "8"))
 
     # Prefer the trained flagship checkpoint when present (trained latents
     # are sparse/low-entropy, which is what production coding looks like);
