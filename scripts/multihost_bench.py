@@ -1,0 +1,151 @@
+"""Multi-host GOP-sharded encode: scaling-efficiency benchmark.
+
+Measures encode wall-clock of the SAME sequence with the GOPs sharded
+over 1, 2, ... jax.distributed processes (parallel/multihost.py) and
+reports frames/s plus scaling efficiency vs the 1-process run — the
+BASELINE.md target is >= 80% efficiency from 1 to 4 hosts.
+
+Each process is one OS process (the DCN analogue used by the multi-host
+tests).  On real TPU pods the same code runs unchanged with one process
+per host; this script exists so the scaling number is measurable
+anywhere.  NOTE: on a small shared CPU box the processes contend for
+cores, so CPU efficiency numbers are a LOWER bound on what distinct
+hosts give (each real host adds compute instead of splitting it).
+
+Usage:
+  python scripts/multihost_bench.py [--procs 1,2,4] [--gops 8]
+      [--h 144 --w 176] [--gop_size 4] [--model tiny]
+Prints one JSON line per process count.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import textwrap
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = textwrap.dedent("""
+    import os, sys, time
+    import numpy as np
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
+    n_proc = int(sys.argv[1])
+    proc_id = int(sys.argv[2])
+    port = int(sys.argv[3])
+    out_path = sys.argv[4]
+    cfg = __import__("json").loads(sys.argv[5])
+
+    if n_proc > 1:
+        jax.distributed.initialize(
+            coordinator_address=f"127.0.0.1:{port}",
+            num_processes=n_proc, process_id=proc_id)
+
+    sys.path.insert(0, cfg["repo"])
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.models.zoo import TINY, BASE_BF16, init_fullnet
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.parallel.multihost import encode_video_multihost
+
+    h, w = cfg["h"], cfg["w"]
+    model_cfg = {"tiny": TINY, "bf16": BASE_BF16}[cfg["model"]]
+    _, params = init_fullnet(model_cfg, jax.random.PRNGKey(0), spatial=64)
+    codec = FrameCodec(model_cfg, params, h, w)
+
+    rng = np.random.default_rng(0)
+    n_frames = cfg["gops"] * cfg["gop_size"]
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(n_frames):
+        y = np.clip(128 + 70 * np.sin(xx / 23.0 + 0.11 * t)
+                    + 50 * np.cos(yy / 17.0 - 0.07 * t), 0, 255)
+        u = np.clip(128 + 40 * np.sin((xx + yy) / 41.0 + 0.05 * t), 0, 255)
+        frames.append({
+            "y": y.astype(np.uint8),
+            "u": u[::2, ::2].astype(np.uint8),
+            "v": (255 - u[::2, ::2]).astype(np.uint8),
+        })
+    coding = CodingConfig(coding_config="RA", gop_size=cfg["gop_size"],
+                          intra_period=cfg["gop_size"])
+
+    # Warm-up (compile every stage), then the timed run.
+    encode_video_multihost(codec, frames, coding, wave_batch=cfg["waves"])
+    t0 = time.time()
+    bitstream = encode_video_multihost(codec, frames, coding,
+                                       wave_batch=cfg["waves"])
+    dt = time.time() - t0
+    if proc_id == 0:
+        with open(out_path, "w") as f:
+            f.write(__import__("json").dumps(
+                {"dt": dt, "bytes": len(bitstream),
+                 "frames": n_frames}))
+    print(f"proc {proc_id}/{n_proc}: {dt:.2f}s", flush=True)
+""")
+
+
+def run_config(n_proc: int, port: int, cfg: dict, timeout: float):
+    with tempfile.TemporaryDirectory() as td:
+        script = Path(td) / "worker.py"
+        script.write_text(WORKER)
+        out_path = Path(td) / "result.json"
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)
+        procs = [
+            subprocess.Popen(
+                [sys.executable, str(script), str(n_proc), str(i),
+                 str(port), str(out_path), json.dumps(cfg)],
+                cwd=REPO, env=env)
+            for i in range(n_proc)
+        ]
+        deadline = time.time() + timeout
+        for p in procs:
+            p.wait(timeout=max(1.0, deadline - time.time()))
+        for p in procs:
+            if p.returncode != 0:
+                raise RuntimeError(f"worker failed rc={p.returncode}")
+        return json.loads(out_path.read_text())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--procs", default="1,2")
+    ap.add_argument("--gops", type=int, default=8)
+    ap.add_argument("--gop_size", type=int, default=4)
+    ap.add_argument("--h", type=int, default=144)
+    ap.add_argument("--w", type=int, default=176)
+    ap.add_argument("--model", default="tiny")
+    ap.add_argument("--waves", type=int, default=2)
+    ap.add_argument("--timeout", type=float, default=1800.0)
+    args = ap.parse_args()
+
+    cfg = {"repo": str(REPO), "gops": args.gops, "gop_size": args.gop_size,
+           "h": args.h, "w": args.w, "model": args.model,
+           "waves": args.waves}
+    base_fps = None
+    port = 29710
+    for n in [int(x) for x in args.procs.split(",")]:
+        res = run_config(n, port, cfg, args.timeout)
+        port += 1
+        fps = res["frames"] / res["dt"]
+        if base_fps is None:
+            base_fps = fps
+        eff = fps / (base_fps * n)
+        print(json.dumps({
+            "processes": n, "frames": res["frames"],
+            "encode_fps": round(fps, 3),
+            "scaling_efficiency": round(eff, 3),
+            "bitstream_bytes": res["bytes"],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
