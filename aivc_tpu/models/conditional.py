@@ -190,6 +190,12 @@ class ConditionalNet(nn.Module):
             z_q = jnp.clip(jnp.round(z), -AC_MAX_VAL, AC_MAX_VAL - 1)
 
         mu, sigma = pdf_parameterize(self.h_s(z_q), self.cfg.nb_ft_y)
+        # When H, W are not multiples of the z downscale, the hyper-decoder
+        # output overshoots the y grid; crop to y's spatial dims (the
+        # reference crops the same way, decode.py:844-856).  No-op for the
+        # inference pipeline, which pads frames to the full downscale.
+        mu = mu[:, : y.shape[1], : y.shape[2], :]
+        sigma = sigma[:, : y.shape[1], : y.shape[2], :]
 
         y_centered = y - mu
         if training:

@@ -356,6 +356,16 @@ class FrameCodec:
             fits8 = jnp.all(jnp.abs(q) <= 127).astype(jnp.uint8)
             return q16, q.astype(jnp.int8), fits8
 
+        @jax.jit
+        def y_quant_dev(y, mu):
+            """Device-backend variant: latents never leave the device, so
+            the int8 view and its fits-in-8-bit reduction are dead work —
+            jit outputs are always materialized, so they must not be
+            outputs at all.  Returns the same (q16, ...) tuple shape with
+            None placeholders (callers index [0])."""
+            q = jnp.clip(jnp.round(y - mu), -AC_MAX_VAL, AC_MAX_VAL - 1)
+            return (q.astype(jnp.int16),)
+
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def mof_synth_maps(params, y_cq, mu, prev, nxt, idx_rate, ftype):
             return model.apply(params, y_cq.astype(jnp.float32), mu, prev,
@@ -524,7 +534,8 @@ class FrameCodec:
         self._cod_analyze = cod_analyze
         self._mof_hyper = mof_hyper
         self._cod_hyper = cod_hyper
-        self._y_quant = y_quant
+        self._y_quant = (y_quant_dev if self.backend == "device"
+                         else y_quant)
         self._mof_synth = mof_synth
         self._mof_synth_maps = mof_synth_maps
         self._motion_comp = motion_comp

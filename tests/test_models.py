@@ -97,6 +97,22 @@ def test_train_step_decreases_nothing_nan():
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
 
 
+def test_train_step_non_multiple_of_z_downscale():
+    """Crop-to-y-grid regression: training sizes that are not multiples of
+    the z downscale (64) overshoot the hyper-decoder output (the reference
+    crops the same way, decode.py:844-856)."""
+    model, params = init_fullnet(TINY, spatial=64)
+    gop = generate_gop_struct("1_GOP_2")
+    opt = make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    step = make_train_step(model, TINY, gop, opt, dist_loss="mse")
+    # 80 = 5 * 16 y-grid but 80 / 64 rounds up to a 2-cell z grid whose
+    # upsampled mu/sigma (8 cells) must crop back to 5.
+    frames = jax.random.uniform(jax.random.PRNGKey(0), (3, 1, 80, 80, 3))
+    _, _, logs = step(params, opt_state, frames, 0, jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+
+
 def test_checkpoint_roundtrip(tmp_path, model_and_params):
     from aivc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
