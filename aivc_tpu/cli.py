@@ -40,6 +40,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--mode", default="all",
                    choices=["all", "encode", "decode", "evaluate"])
     p.add_argument("--cpu", action="store_true", help="force CPU backend")
+    p.add_argument("--rng_seed", type=int, default=None,
+                   help="accepted for reference flag parity (src/aivc.py:"
+                        "71-73); unused — inference is deterministic by "
+                        "construction here (encoder and decoder run the "
+                        "same compiled programs), so no seed is needed")
     p.add_argument("--bitstream_debug", action="store_true",
                    help="per-chunk AC lossless self-check, rate overhead "
                         "report, and encoder/decoder md5 drift manifest")

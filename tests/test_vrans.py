@@ -347,3 +347,24 @@ def test_encode_pallas_interpret_matches_xla():
                                  jnp.asarray(rows[i])[None], dec, n=n, k=k,
                                  method="gather")
         np.testing.assert_array_equal(np.asarray(out)[0], vals[i])
+
+
+def test_pallas_probe_fallback(monkeypatch):
+    """A kernel that fails to lower must quietly disable the pallas route
+    (auto mode falls back to the bit-identical XLA path) instead of
+    crashing encoding."""
+    import warnings
+
+    def boom(*a, **k):
+        raise RuntimeError("simulated Mosaic lowering failure")
+
+    monkeypatch.setattr(vrans, "encode_pallas_batch", boom)
+    monkeypatch.setattr(vrans, "decode_pallas_batch", boom)
+    monkeypatch.setattr(vrans, "_PALLAS_PROBE", {})
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert vrans.pallas_runtime_ok("enc") is False
+        assert vrans.pallas_runtime_ok("dec") is False
+    assert any("unavailable" in str(x.message) for x in w)
+    # cached: a second call must not re-probe (boom would raise through)
+    assert vrans.pallas_runtime_ok("enc") is False
