@@ -393,28 +393,36 @@ _decode_core = jax.jit(
 # Lane order is k = sublane * 128 + lane, matching the [S, K] row-major
 # reshape of the XLA paths, so all three methods are bit-identical.
 
-_SUB = 8          # sublanes per state tile; K = _SUB * 128
-_WIN_ROWS = 24    # window rows: >= K/128 + 16 (u16 sublane alignment)
+_SUB = 8          # default sublanes per state tile; K = sub * 128
+_SUBS = (8, 16)   # supported sublane counts (K = 1024 or 2048)
 
 
-def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
-                          out_ref, states_out_ref, g_out_ref, x_ref, g_ref):
+def _win_rows(sub: int) -> int:
+    """Decode window rows: >= sub + 16, padded to the u16 sublane tile."""
+    w = sub + 16
+    return w + (-w) % 8
+
+
+def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
+                          cdf_ref, out_ref, states_out_ref, g_out_ref,
+                          x_ref, g_ref):
     t = pl.program_id(1)
 
     bb = pl.program_id(0)
+    win_rows = _win_rows(sub)
 
     @pl.when(t == 0)
     def _():
         x_ref[:] = states_ref[0]
         g_ref[0] = g0_ref[bb, 0]
 
-    x = x_ref[:]                                     # [8, 128] u32
+    x = x_ref[:]                                     # [sub, 128] u32
     slot = x & _SLOT_MASK
-    r = rows_ref[0]                                  # [8, 128] i32
+    r = rows_ref[0]                                  # [sub, 128] i32
 
     n_rows = cdf_ref.shape[0]
     oh_r = (r[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (_SUB, 128, n_rows), 2)).astype(jnp.float32)
+        jnp.int32, (sub, 128, n_rows), 2)).astype(jnp.float32)
     # rc[s, l, j] = cdf[r[s,l], j + 1]  (column 0 of the true CDF is 0
     # and is dropped so the table is exactly [R, 512])
     rc = jax.lax.dot_general(
@@ -426,7 +434,7 @@ def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
     slot_f = slot.astype(jnp.int32).astype(jnp.float32)
     le = rc <= slot_f[:, :, None]
     s = jnp.sum(le.astype(jnp.int32), axis=2)        # [8, 128] symbol
-    e512 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 128, 512), 2)
+    e512 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128, 512), 2)
     oh_s0 = (e512 == (s - 1)[:, :, None]).astype(jnp.float32)
     oh_s1 = (e512 == s[:, :, None]).astype(jnp.float32)
     start = jnp.sum(rc * oh_s0, axis=2).astype(jnp.int32).astype(
@@ -450,33 +458,33 @@ def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
     row_c = jax.lax.dot_general(
         need_f, lt128, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # [8, 128] inclusive
-    row_tot = row_c[:, 127:128]                      # [8, 1]
-    lt8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-           ).astype(jnp.float32)
+    row_tot = row_c[:, 127:128]                      # [sub, 1]
+    lt_s = (jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+            ).astype(jnp.float32)
     row_off = jax.lax.dot_general(
-        row_tot.reshape(1, 8), lt8,
+        row_tot.reshape(1, sub), lt_s,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(8, 1) - row_tot
-    rank = (row_off + row_c).astype(jnp.int32) - need_i  # [8, 128]
+        preferred_element_type=jnp.float32).reshape(sub, 1) - row_tot
+    rank = (row_off + row_c).astype(jnp.int32) - need_i  # [sub, 128]
 
     # 128-aligned window of the word stream covering [g, g + K]
     g = g_ref[0]
     row0 = pl.multiple_of((g // 2048) * 16, 16)
-    win = words_ref[0, pl.ds(row0, _WIN_ROWS), :].astype(
+    win = words_ref[0, pl.ds(row0, win_rows), :].astype(
         jnp.int32).astype(jnp.float32)
-    idx = (g - row0 * 128) + rank                    # in [0, WIN_ROWS*128)
+    idx = (g - row0 * 128) + rank                    # in [0, win_rows*128)
     wr = idx // 128
     wl = idx % 128
     oh_wr = (wr[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (_SUB, 128, _WIN_ROWS), 2)).astype(jnp.float32)
+        jnp.int32, (sub, 128, win_rows), 2)).astype(jnp.float32)
     tmp = jax.lax.dot_general(
         oh_wr, win,
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST)         # [8, 128, 128] exact
     oh_wl = (wl[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (_SUB, 128, 128), 2)).astype(jnp.float32)
+        jnp.int32, (sub, 128, 128), 2)).astype(jnp.float32)
     # The u16 window may be sign-extended on load (Mosaic treats it as
     # i16); the f32 roundtrip is exact either way and & 0xFFFF recovers
     # the unsigned word bits.
@@ -495,10 +503,10 @@ def _decode_pallas_kernel(rows_ref, words_ref, states_ref, g0_ref, cdf_ref,
 
 
 def _pallas_ok(n: int, k: int) -> bool:
-    if k != _SUB * 128:
+    if k % 128 or k // 128 not in _SUBS:
         return False
     _, n_pad = plan(n, k)
-    # words VMEM footprint (u16) + headroom for the [8,128,512] f32
+    # words VMEM footprint (u16) + headroom for the [sub,128,512] f32
     # intermediates; beyond this fall back to the XLA matmul method.
     return n_pad * 2 <= 6 * 1024 * 1024
 
@@ -543,34 +551,36 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
 
     g0 [B] i32: per-stream-set word offset (staged fused decoding);
     return_carry additionally returns (states_out [B, K], g_out [B])."""
-    if k != _SUB * 128:
-        raise ValueError(f"pallas decode requires K == {_SUB * 128}")
+    if k % 128 or k // 128 not in _SUBS:
+        raise ValueError(f"pallas decode requires K/128 in {_SUBS}")
+    sub = k // 128
+    win_rows = _win_rows(sub)
     s_steps, n_pad = plan(n, k)
     b = words.shape[0]
     # Word buffer padded so any 16-row-aligned window read stays in range.
     n_words = words.shape[1]
-    wr_rows = -(-n_words // 128) + 2 * _WIN_ROWS
+    wr_rows = -(-n_words // 128) + 2 * win_rows
     wr_rows += (-wr_rows) % 16
     w3 = jnp.zeros((b, wr_rows, 128), jnp.uint16)
     wpad = jnp.pad(words, ((0, 0), (0, (-n_words) % 128)))
     w3 = w3.at[:, :wpad.shape[1] // 128, :].set(
         wpad.reshape(b, -1, 128))
     rows_p = jnp.pad(rows.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
-    rows3 = rows_p.reshape(b, s_steps * _SUB, 128)
-    states3 = states.astype(jnp.uint32).reshape(b, _SUB, 128)
+    rows3 = rows_p.reshape(b, s_steps * sub, 128)
+    states3 = states.astype(jnp.uint32).reshape(b, sub, 128)
     if g0 is None:
         g0 = jnp.zeros((b,), jnp.int32)
     g02 = jnp.asarray(g0, jnp.int32).reshape(b, 1)
 
     out, states_o, g_o = pl.pallas_call(
-        _decode_pallas_kernel,
+        functools.partial(_decode_pallas_kernel, sub),
         grid=(b, s_steps),
         in_specs=[
-            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, t, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, wr_rows, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
@@ -578,20 +588,20 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, t, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, s_steps * _SUB, 128), jnp.int32),
-            jax.ShapeDtypeStruct((b, _SUB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((b, s_steps * sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, sub, 128), jnp.uint32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_SUB, 128), jnp.uint32),
+            pltpu.VMEM((sub, 128), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
@@ -657,7 +667,7 @@ def _enc_div_u32(x, freq_f):
     return q, rem.astype(jnp.int32).astype(_U32)
 
 
-def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
+def _encode_pallas_kernel(seg_ts, sub, sym_ref, rows_ref, cdf_ref,
                           words_ref, states_out_ref, segg_ref,
                           x_ref, g_ref):
     t = pl.program_id(1)
@@ -667,7 +677,7 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
 
     @pl.when(t == 0)
     def _():
-        x_ref[:] = jnp.full((_SUB, 128), RANS_L, _U32)
+        x_ref[:] = jnp.full((sub, 128), RANS_L, _U32)
         g_ref[0] = g0
         words_ref[0] = jnp.zeros((wrb, 128), jnp.uint16)
 
@@ -677,13 +687,13 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
     # (start, freq) lookup — identical scheme to the decode kernel.
     n_rows = cdf_ref.shape[0]
     oh_r = (r[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (_SUB, 128, n_rows), 2)).astype(jnp.float32)
+        jnp.int32, (sub, 128, n_rows), 2)).astype(jnp.float32)
     rc = jax.lax.dot_general(
         oh_r, cdf_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
-    e512 = jax.lax.broadcasted_iota(jnp.int32, (_SUB, 128, 512), 2)
+        precision=jax.lax.Precision.HIGHEST)       # [sub, 128, 512] exact
+    e512 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128, 512), 2)
     oh_s0 = (e512 == (s - 1)[:, :, None]).astype(jnp.float32)
     oh_s1 = (e512 == s[:, :, None]).astype(jnp.float32)
     start_f = jnp.sum(rc * oh_s0, axis=2)                # 0 when s == 0
@@ -712,14 +722,14 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
     row_c = jax.lax.dot_general(
         emit_f, lt128, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)          # [8, 128] inclusive
-    row_tot = row_c[:, 127:128]                      # [8, 1] per-sublane
-    lt8 = (jax.lax.broadcasted_iota(jnp.int32, (8, 8), 0)
-           <= jax.lax.broadcasted_iota(jnp.int32, (8, 8), 1)
-           ).astype(jnp.float32)
+    row_tot = row_c[:, 127:128]                    # [sub, 1] per-sublane
+    lt_s = (jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+            ).astype(jnp.float32)
     base_excl = jax.lax.dot_general(
-        row_tot.reshape(1, 8), lt8,
+        row_tot.reshape(1, sub), lt_s,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(8, 1) - row_tot
+        preferred_element_type=jnp.float32).reshape(sub, 1) - row_tot
     # inclusive in-row count minus emit = exclusive rank WITHIN the row;
     # non-emitting lanes get rank -1 (matches no one-hot column) so the
     # pack mask below is a single i32 comparison — Mosaic cannot reshape
@@ -742,8 +752,8 @@ def _encode_pallas_kernel(seg_ts, sym_ref, rows_ref, cdf_ref,
     e128b = jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
     ewin = jax.lax.broadcasted_iota(jnp.int32, (_WIN_W, 1), 0)
     contrib = jnp.zeros((_WIN_W, 128), jnp.float32)
-    base_i = base_excl.astype(jnp.int32)             # [8, 1]
-    for srow in range(_SUB):
+    base_i = base_excl.astype(jnp.int32)             # [sub, 1]
+    for srow in range(sub):
         # oh_pack[l, j] = (local_rank[l] == j); non-emitting lanes carry
         # rank -1 and match nothing.
         oh_pack = (e128b == local_rank[srow][:, None]).astype(jnp.float32)
@@ -809,15 +819,16 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
     order); segment i's words are buf[b, seg_g[b, i]:seg_g[b, i + 1]]
     with seg_g[b, NSEG] == g0.  Bit-identical to encode_impl.
     """
-    if k != _SUB * 128:
-        raise ValueError(f"pallas encode requires K == {_SUB * 128}")
+    if k % 128 or k // 128 not in _SUBS:
+        raise ValueError(f"pallas encode requires K/128 in {_SUBS}")
+    sub = k // 128
     s_steps, n_pad = plan(n, k)
     b = sym.shape[0]
     sym_p = jnp.pad(sym.astype(jnp.int32), ((0, 0), (0, n_pad - n)),
                     constant_values=pad_sym)
     rows_p = jnp.pad(rows.astype(jnp.int32), ((0, 0), (0, n_pad - n)))
-    sym3 = sym_p.reshape(b, s_steps * _SUB, 128)
-    rows3 = rows_p.reshape(b, s_steps * _SUB, 128)
+    sym3 = sym_p.reshape(b, s_steps * sub, 128)
+    rows3 = rows_p.reshape(b, s_steps * sub, 128)
 
     wr = -(-n_pad // 128)
     wr += (-wr) % 16
@@ -829,15 +840,15 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
     starts = np.cumsum((0,) + tuple(segs))[:-1]      # real step of seg start
     seg_ts = tuple(int(s_steps - 1 - st) for st in starts)
 
-    kern = functools.partial(_encode_pallas_kernel, seg_ts)
+    kern = functools.partial(_encode_pallas_kernel, seg_ts, sub)
     buf, states_o, seg_g = pl.pallas_call(
         kern,
         grid=(b, s_steps),
         in_specs=[
-            pl.BlockSpec((1, _SUB, 128),
+            pl.BlockSpec((1, sub, 128),
                          lambda bb, t: (bb, s_steps - 1 - t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, 128),
+            pl.BlockSpec((1, sub, 128),
                          lambda bb, t: (bb, s_steps - 1 - t, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((cdf512_f32.shape[0], 512),
@@ -846,18 +857,18 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
         out_specs=[
             pl.BlockSpec((1, wrb, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _SUB, 128), lambda bb, t: (bb, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, len(seg_ts)), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, wrb, 128), jnp.uint16),
-            jax.ShapeDtypeStruct((b, _SUB, 128), jnp.uint32),
+            jax.ShapeDtypeStruct((b, sub, 128), jnp.uint32),
             jax.ShapeDtypeStruct((b, len(seg_ts)), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((_SUB, 128), _U32),
+            pltpu.VMEM((sub, 128), _U32),
             pltpu.SMEM((1,), jnp.int32),
         ],
         interpret=interpret,
@@ -867,7 +878,7 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
 
 
 def _enc_pallas_ok(n: int, k: int) -> bool:
-    if k != _SUB * 128:
+    if k % 128 or k // 128 not in _SUBS:
         return False
     _, n_pad = plan(n, k)
     return n_pad * 2 <= 6 * 1024 * 1024

@@ -368,3 +368,40 @@ def test_pallas_probe_fallback(monkeypatch):
     assert any("unavailable" in str(x.message) for x in w)
     # cached: a second call must not re-probe (boom would raise through)
     assert vrans.pallas_runtime_ok("enc") is False
+
+
+@pytest.mark.parametrize("k", [1024, 2048])
+def test_pallas_kernels_sub16_interpret(k):
+    """K = 2048 (16 sublanes) kernels must stay bit-identical to the XLA
+    route — halving the sequential step count for large 1080p chunks."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    R = 6
+    pmf = rng.integers(1, 90, size=(R, N_SYMBOLS)).astype(np.float64)
+    cdfs = quantize_pmf(pmf, scale=vrans.PROB_SCALE)
+    cdf512 = jnp.asarray(cdfs[:, 1:].astype(np.float32))
+    et = vrans.make_enc_tables(cdfs)
+
+    n = k * 3 + 37
+    sym = rng.integers(0, N_SYMBOLS, size=(2, n)).astype(np.int32)
+    rows = rng.integers(0, R, size=(2, n)).astype(np.int32)
+    bx, sx, tx = jax.vmap(lambda s, r: vrans.encode_impl(
+        s, r, et, n=n, k=k, n_sym=N_SYMBOLS, pad_sym=3))(
+        jnp.asarray(sym), jnp.asarray(rows))
+    buf, st, seg_g, g0 = vrans.encode_pallas_batch(
+        jnp.asarray(sym), jnp.asarray(rows), cdf512, n=n, k=k, pad_sym=3,
+        interpret=True)
+    _, n_pad = vrans.plan(n, k)
+    wbuf = np.zeros((2, n_pad), np.uint16)
+    for i in range(2):
+        t = int(np.asarray(tx)[i])
+        wp = np.asarray(buf)[i, int(np.asarray(seg_g)[i, 0]):g0]
+        np.testing.assert_array_equal(wp, np.asarray(bx)[i, :t])
+        np.testing.assert_array_equal(np.asarray(st)[i], np.asarray(sx)[i])
+        wbuf[i, :t] = np.asarray(bx)[i, :t]
+    out = vrans.decode_pallas_batch(
+        jnp.asarray(wbuf), jnp.asarray(np.asarray(sx)), jnp.asarray(rows),
+        cdf512, n=n, k=k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), sym)
