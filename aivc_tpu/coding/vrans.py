@@ -525,7 +525,7 @@ def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
     """
     if method == "auto":
         if (jax.default_backend() == "tpu" and _pallas_ok(n, k)
-                and pallas_runtime_ok("dec")):
+                and pallas_runtime_ok("dec", k // 128)):
             method = "pallas"
         else:
             method = _default_method()
@@ -893,10 +893,10 @@ def _enc_pallas_ok(n: int, k: int) -> bool:
 _PALLAS_PROBE: dict = {}
 
 
-def pallas_runtime_ok(kind: str) -> bool:
-    got = _PALLAS_PROBE.get(kind)
+def pallas_runtime_ok(kind: str, sub: int = _SUB) -> bool:
+    got = _PALLAS_PROBE.get((kind, sub))
     if got is None:
-        k = _SUB * 128
+        k = sub * 128
         try:
             cdf = np.zeros((1, 513), np.uint32)
             cdf[0] = np.arange(513, dtype=np.uint32) * (
@@ -917,10 +917,10 @@ def pallas_runtime_ok(kind: str) -> bool:
         except Exception as e:  # noqa: BLE001 — any lowering/compile error
             import warnings
 
-            warnings.warn(f"pallas {kind} kernel unavailable; using the "
-                          f"XLA path ({type(e).__name__})")
+            warnings.warn(f"pallas {kind} kernel (K={k}) unavailable; "
+                          f"using the XLA path ({type(e).__name__})")
             got = False
-        _PALLAS_PROBE[kind] = got
+        _PALLAS_PROBE[(kind, sub)] = got
     return got
 
 

@@ -728,7 +728,7 @@ class FrameCodec:
         if mode == "pallas":
             return True
         return (jax.default_backend() == "tpu"
-                and vrans.pallas_runtime_ok("enc"))
+                and vrans.pallas_runtime_ok("enc", k // 128))
 
     def _fused_rows_np(self, handles, i: int):
         """Host-side reconstruction of frame i's fused (symbols, rows) —
