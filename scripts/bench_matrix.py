@@ -5,11 +5,11 @@ prints one JSON line per config.  Resolutions follow the BASELINE list;
 synthetic content is used when no .yuv input is given (the HEVC test
 sequences are not redistributable inside this repo).
 
-  1. 416x240  RA GOP8          (sanity-style run)
+  1. 416x240  RA GOP16 ip32   (the reference sanity-script config)
   2. 416x240  All-Intra        (image-coding path, batched)
   3. 832x480  LDP intra 8      (sequential P chain)
-  4. 1280x720 RA GOP8 rate sweep (3 points)
-  5. 1920x1080 RA GOP8         (flagship, also bench.py's config)
+  4. 1280x720 RA GOP32 rate sweep (3 points)
+  5. 1920x1080 RA GOP32        (flagship, also bench.py's config)
 
 Usage: python scripts/bench_matrix.py [--model tiny|base|bf16] [--quick]
 """
@@ -85,10 +85,12 @@ def main():
     cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[args.model]
     _, params = init_fullnet(cfg)
 
-    # 1. sanity-style RA
-    f = synthetic_frames(9, 240, 416)
-    run_config("240p RA GOP8", cfg, params, f, 240, 416,
-               CodingConfig(coding_config="RA", gop_size=8, intra_period=8))
+    # 1. sanity-style RA (reference sanity run: RA GOP16 intra period 32,
+    # src/sanity_script.sh:5-14)
+    f = synthetic_frames(33, 240, 416)
+    run_config("240p RA GOP16 ip32", cfg, params, f, 240, 416,
+               CodingConfig(coding_config="RA", gop_size=16,
+                            intra_period=32))
     # 2. All-Intra (batched image coding)
     run_config("240p AI batched", cfg, params, f, 240, 416,
                CodingConfig(coding_config="AI"))
@@ -98,16 +100,19 @@ def main():
                CodingConfig(coding_config="LDP", intra_period=8))
     if args.quick:
         return
-    # 4. 720p RD sweep (3 rate points)
-    f = synthetic_frames(9, 720, 1280)
+    # 4. 720p RD sweep (3 rate points; baseline config: RA GOP32)
+    f = synthetic_frames(33, 720, 1280)
     n_rates = len(cfg.lambda_tradeoff)
-    run_config("720p RA GOP8 sweep", cfg, params, f, 720, 1280,
-               CodingConfig(coding_config="RA", gop_size=8, intra_period=8),
-               idx_rates=(0.0, (n_rates - 1) / 2, float(n_rates - 1)))
-    # 5. flagship 1080p
-    f = synthetic_frames(9, 1080, 1920)
-    run_config("1080p RA GOP8", cfg, params, f, 1080, 1920,
-               CodingConfig(coding_config="RA", gop_size=8, intra_period=8))
+    run_config("720p RA GOP32 sweep", cfg, params, f, 720, 1280,
+               CodingConfig(coding_config="RA", gop_size=32,
+                            intra_period=32),
+               idx_rates=(0.0, (n_rates - 1) / 2, float(n_rates - 1)),
+               wave_batch=8)
+    # 5. flagship 1080p (bench.py's config)
+    f = synthetic_frames(33, 1080, 1920)
+    run_config("1080p RA GOP32", cfg, params, f, 1080, 1920,
+               CodingConfig(coding_config="RA", gop_size=32,
+                            intra_period=32), wave_batch=8)
 
 
 if __name__ == "__main__":
