@@ -35,6 +35,10 @@ def main():
     ap.add_argument("--h", type=int, default=240)
     ap.add_argument("--w", type=int, default=416)
     ap.add_argument("--rates", default="", help="comma list; default all")
+    ap.add_argument("--wave_batch", type=int, default=4)
+    ap.add_argument("--compare", default="",
+                    help="JSONL of a previous sweep; report BD-rate and "
+                         "BD-PSNR of THIS sweep against it")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -71,13 +75,15 @@ def main():
              else [float(i) for i in range(n_rates)])
 
     n_pix = h * w
+    points = []
     for idx_rate in rates:
         coding = CodingConfig(
             coding_config=args.coding_config, gop_size=args.gop_size,
             intra_period=args.intra_period, idx_rate=idx_rate)
-        res = encode_video(codec, frames, coding)
+        res = encode_video(codec, frames, coding,
+                           wave_batch=args.wave_batch)
         metrics = evaluate_frames(frames, res.decoded_frames)
-        print(json.dumps({
+        row = {
             "idx_rate": idx_rate,
             "bpp": round(res.total_bytes * 8 / (n_pix * len(frames)), 5),
             "bytes": res.total_bytes,
@@ -85,7 +91,23 @@ def main():
             "ms_ssim": round(float(metrics["ms_ssim"]), 5),
             "ms_ssim_db": round(float(metrics["ms_ssim_db"]), 4),
             "enc_fps": round(res.fps, 3),
-        }), flush=True)
+        }
+        points.append(row)
+        print(json.dumps(row), flush=True)
+
+    if args.compare:
+        from aivc_tpu.ops.bd_metrics import bd_psnr, bd_rate
+
+        ref = [json.loads(line) for line in open(args.compare)
+               if line.strip().startswith("{")]
+        ref_rd = [(r["bpp"], r["psnr"]) for r in ref]
+        test_rd = [(r["bpp"], r["psnr"]) for r in points]
+        out = {"bd_rate_pct_vs_ref": round(bd_rate(ref_rd, test_rd), 3),
+               "bd_psnr_db_vs_ref": round(bd_psnr(ref_rd, test_rd), 4)}
+        ref_ms = [(r["bpp"], r["ms_ssim_db"]) for r in ref]
+        test_ms = [(r["bpp"], r["ms_ssim_db"]) for r in points]
+        out["bd_msssim_db_vs_ref"] = round(bd_psnr(ref_ms, test_ms), 4)
+        print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

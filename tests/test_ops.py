@@ -279,3 +279,29 @@ def test_psnr_matches_numpy():
     b = rng.random((32, 32)).astype(np.float32)
     mse = np.mean((a - b) ** 2)
     assert abs(float(psnr(jnp.float32(mse))) - psnr_np(a, b)) < 1e-3
+
+
+def test_bd_metrics_analytic():
+    """BD-rate/BD-PSNR on analytically shifted curves: a curve that needs
+    x% fewer bits at every quality must report ~-x% BD-rate; a +d dB
+    offset at every rate must report +d BD-PSNR."""
+    from aivc_tpu.ops.bd_metrics import bd_psnr, bd_rate
+
+    rates = [400.0, 800.0, 1600.0, 3200.0, 6400.0]
+    ref = [(r, 30.0 + 3.0 * np.log2(r / 400.0)) for r in rates]
+
+    # identical curves -> both deltas ~0
+    assert abs(bd_rate(ref, ref)) < 1e-9
+    assert abs(bd_psnr(ref, ref)) < 1e-9
+
+    # 20% rate savings at equal quality
+    saved = [(r * 0.8, q) for r, q in ref]
+    assert abs(bd_rate(ref, saved) - (-20.0)) < 0.5
+
+    # +1.5 dB at equal rate
+    better = [(r, q + 1.5) for r, q in ref]
+    assert abs(bd_psnr(ref, better) - 1.5) < 1e-6
+
+    # worse codec: positive BD-rate
+    worse = [(r * 1.25, q) for r, q in ref]
+    assert bd_rate(ref, worse) > 20.0
