@@ -968,6 +968,54 @@ def serialize_chunk(k: int, states: np.ndarray, words: np.ndarray) -> bytes:
     return bytes(out)
 
 
+# Format v2 (high bit of the K byte): the fused frame stream elides
+# all-zero y feature maps (the device analogue of the reference's
+# zero-feature-map elision, reference: src/real_life/bitstream.py:237-255).
+# Per-frame channel bitmaps ride in the chunk; the wave-shared gather
+# bucket is DERIVED from the bitmaps on both sides, so batched waves
+# keep one compiled program per (bucket, K) and enc/dec stay bit-exact.
+CHUNK_V2 = 0x80
+
+
+def serialize_chunk_v2(k: int, states: np.ndarray, words: np.ndarray,
+                       bitmaps) -> bytes:
+    """[1B log2 K | 0x80][1B n_bitmaps]([1B len][bitmap])* then the v1
+    tail: [4B BE word count][K*4B BE states][words BE]."""
+    out = bytearray()
+    out.append((int(k).bit_length() - 1) | CHUNK_V2)
+    out.append(len(bitmaps))
+    for bm in bitmaps:
+        out.append(len(bm))
+        out.extend(bm)
+    out.extend(int(words.size).to_bytes(4, "big"))
+    out.extend(np.asarray(states).astype(">u4").tobytes())
+    out.extend(np.asarray(words).astype(">u2").tobytes())
+    return bytes(out)
+
+
+def chan_bitmap(mask: np.ndarray) -> bytes:
+    """bool [C] -> little-endian-bit channel bitmap bytes."""
+    return np.packbits(np.asarray(mask, bool), bitorder="little").tobytes()
+
+
+def bitmap_channels(bm: bytes, c: int) -> np.ndarray:
+    """bitmap bytes -> int32 indices of set channels (sorted)."""
+    bits = np.unpackbits(np.frombuffer(bm, np.uint8), count=c,
+                         bitorder="little")
+    return np.nonzero(bits)[0].astype(np.int32)
+
+
+def elide_bucket(c_max: int, c_total: int) -> int:
+    """Wave-shared gather width: the smallest level in
+    {0, C/8, C/4, C/2, C} covering the wave's largest kept-channel
+    count.  STATIC python on both sides (part of the format)."""
+    for lvl in sorted({0, -(-c_total // 8), -(-c_total // 4),
+                       -(-c_total // 2), c_total}):
+        if lvl >= c_max:
+            return lvl
+    return c_total
+
+
 def encode_finish(handles) -> bytes:
     """Pull the compressed chunk (sync point) and serialize it."""
     k, n = handles["k"], handles["n"]
@@ -983,7 +1031,11 @@ def encode_finish(handles) -> bytes:
 
 
 def parse_chunk(payload: bytes, n: int):
-    """Chunk bytes -> (words u16 [total], states u32 [K], k).  Host-only."""
+    """Chunk bytes -> (words u16 [total], states u32 [K], k).  Host-only.
+    v1 chunks only; v2 (elided) chunks go through parse_chunk_v2."""
+    if payload[0] & CHUNK_V2:
+        words, states, k, _ = parse_chunk_v2(payload)
+        return words, states, k
     k = 1 << payload[0]
     total = int.from_bytes(payload[1:5], "big")
     pos = 5
@@ -993,6 +1045,33 @@ def parse_chunk(payload: bytes, n: int):
     if pos + 2 * total != len(payload):
         raise ValueError("vrans chunk size mismatch")
     return words.astype(np.uint16), states.astype(np.uint32), k
+
+
+def parse_chunk_v2(payload: bytes):
+    """v2 chunk bytes -> (words, states, k, bitmaps list | None).
+
+    Returns bitmaps=None for a v1 chunk (dense)."""
+    first = payload[0]
+    if not (first & CHUNK_V2):
+        w, s, k = parse_chunk(payload, 0)
+        return w, s, k, None
+    k = 1 << (first & 0x7F)
+    nbm = payload[1]
+    pos = 2
+    bitmaps = []
+    for _ in range(nbm):
+        ln = payload[pos]
+        pos += 1
+        bitmaps.append(payload[pos:pos + ln])
+        pos += ln
+    total = int.from_bytes(payload[pos:pos + 4], "big")
+    pos += 4
+    states = np.frombuffer(payload, dtype=">u4", count=k, offset=pos)
+    pos += 4 * k
+    words = np.frombuffer(payload, dtype=">u2", count=total, offset=pos)
+    if pos + 2 * total != len(payload):
+        raise ValueError("vrans v2 chunk size mismatch")
+    return (words.astype(np.uint16), states.astype(np.uint32), k, bitmaps)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))

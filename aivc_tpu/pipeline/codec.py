@@ -151,6 +151,12 @@ class FrameCodec:
         if entropy_backend not in ("device", "host"):
             raise ValueError(f"unknown entropy backend {entropy_backend!r}")
         self.backend = entropy_backend
+        # v2 fused format: elide all-zero y feature maps on device
+        # (AIVC_VRANS_ELIDE=0 falls back to the dense v1 stream).
+        import os as _os
+
+        self.elide = (entropy_backend == "device"
+                      and _os.environ.get("AIVC_VRANS_ELIDE", "1") != "0")
         # Optional device mesh: frame rows are sharded over the 'spatial'
         # axis and GSPMD inserts the conv halo exchanges (SURVEY.md §2.5
         # "intra-frame tile parallelism").  Parameters are replicated.
@@ -238,7 +244,21 @@ class FrameCodec:
         segs.append(-(-self._n_y["codecnet"] // k) * k)
         return sum(segs), tuple(segs)
 
-    def _pick_k(self, frame_type: int) -> int:
+    def _fused_n2(self, frame_type: int, k: int, bm: int, bc: int):
+        """Like _fused_n for the v2 (elided) format: y segments cover
+        only the bucketed kept channels (absent entirely at bucket 0)."""
+        hw = self.hy * self.wy
+        segs = []
+        if frame_type != FRAME_I:
+            segs.append(-(-self._n_z["mofnet"] // k) * k)
+            if bm:
+                segs.append(-(-(bm * hw) // k) * k)
+        segs.append(-(-self._n_z["codecnet"] // k) * k)
+        if bc:
+            segs.append(-(-(bc * hw) // k) * k)
+        return sum(segs), tuple(segs)
+
+    def _pick_k(self, frame_type: int, n_total: Optional[int] = None) -> int:
         """Stream count for the next frame of this type: sized so the
         4K-byte state flush stays ~<5% of the previous frame's payload,
         floored so the rANS scan stays <= 2048 steps — the sequential
@@ -250,7 +270,8 @@ class FrameCodec:
         env_k = os.environ.get("AIVC_VRANS_K")
         if env_k:
             return int(env_k)
-        n_total, _ = self._fused_n(frame_type, 8)
+        if n_total is None:
+            n_total, _ = self._fused_n(frame_type, 8)
         k_lo = 8
         while n_total // k_lo > 2048:
             k_lo *= 2
@@ -518,6 +539,138 @@ class FrameCodec:
         def prefix_cols(buf, m):
             return buf[:, :m]
 
+        # ---- v2 (elided) fused coding: all-zero y feature maps are
+        # dropped from the stream (the device analogue of the reference's
+        # zero-feature-map elision, bitstream.py:237-255).  Trained models
+        # keep only ~10-30% of y channels, so this cuts the sequential
+        # rANS scan depth ~5x AND removes the dense zero-coding rate
+        # floor.  Per-frame channel bitmaps ride in the chunk; the
+        # wave-shared gather bucket derives from the bitmaps on BOTH
+        # sides (vrans.elide_bucket), so enc/dec remain bit-exact and a
+        # batched wave keeps one compiled program.  All gathers/scatters
+        # are one-hot matmuls (values <= 2^9: exact in f32).
+
+        @jax.jit
+        def chan_mask(q16):
+            """[B, H, W, C] -> bool [B, C]: channel has any nonzero."""
+            return jnp.any(q16 != 0, axis=(1, 2))
+
+        def _oh(idx, c):
+            """[B, J] indices -> one-hot f32 [B, J, C]."""
+            return (idx[:, :, None] ==
+                    jnp.arange(c, dtype=jnp.int32)[None, None, :]
+                    ).astype(jnp.float32)
+
+        def _gather_ch(x, idx, bucket):
+            """Gather kept channels: x [B,H,W,C] -> i32 [B, bucket, H*W]
+            via a one-hot MXU contraction (no TPU gather)."""
+            B, H, W, C = x.shape
+            xt = x.astype(jnp.float32).transpose(0, 3, 1, 2).reshape(
+                B, C, H * W)
+            oh = _oh(idx, C)                          # [B, bucket, C]
+            out = jax.lax.dot_general(
+                oh, xt, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)  # [B, bucket, HW]
+            return out.astype(jnp.int32)
+
+        def _y_seg_el(q16, bins, idx, nkeep, k, bucket):
+            """Elided y segment: channel-major symbols of the kept
+            channels; per-frame slots beyond nkeep carry the pad
+            symbol (identical construction on the decode side)."""
+            B, H, W, C = q16.shape
+            hw = H * W
+            sym = _gather_ch(q16, idx, bucket).reshape(B, bucket * hw) \
+                + AC_MAX_VAL
+            rows = _gather_ch(bins, idx, bucket).reshape(B, bucket * hw) \
+                + OFF["y"]
+            pos_ch = jnp.arange(bucket * hw, dtype=jnp.int32) // hw
+            valid = pos_ch[None, :] < nkeep[:, None]
+            sym = jnp.where(valid, sym, PAD["y"])
+            rows = jnp.where(valid, rows, OFF["y"])
+            return _pad_seg(sym, rows, k, PAD["y"], OFF["y"])
+
+        def _parts_v2(z_qm, q16m, binsm, idxm, nkm,
+                      z_qc, q16c, binsc, idxc, nkc, k, bm, bc):
+            parts = []
+            if z_qm is not None:
+                parts.append(_z_seg(z_qm, "z_m", k))
+                if bm:
+                    parts.append(_y_seg_el(q16m, binsm, idxm, nkm, k, bm))
+            parts.append(_z_seg(z_qc, "z_c", k))
+            if bc:
+                parts.append(_y_seg_el(q16c, binsc, idxc, nkc, k, bc))
+            return parts
+
+        @functools.partial(jax.jit, static_argnames=("k", "bm", "bc"))
+        def vrenc2_pb(z_qm, q16m, binsm, idxm, nkm,
+                      z_qc, q16c, binsc, idxc, nkc, tables, k, bm, bc):
+            return _enc_fused(_parts_v2(z_qm, q16m, binsm, idxm, nkm,
+                                        z_qc, q16c, binsc, idxc, nkc,
+                                        k, bm, bc), tables, k)
+
+        @functools.partial(jax.jit, static_argnames=("k", "bc"))
+        def vrenc2_i(z_qc, q16c, binsc, idxc, nkc, tables, k, bc):
+            return _enc_fused(_parts_v2(None, None, None, None, None,
+                                        z_qc, q16c, binsc, idxc, nkc,
+                                        k, 0, bc), tables, k)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("k", "bm", "bc", "interpret"))
+        def vrenc2_pb_pal(z_qm, q16m, binsm, idxm, nkm,
+                          z_qc, q16c, binsc, idxc, nkc, cdf512, k, bm, bc,
+                          interpret=False):
+            return _enc_fused_pal(_parts_v2(z_qm, q16m, binsm, idxm, nkm,
+                                            z_qc, q16c, binsc, idxc, nkc,
+                                            k, bm, bc),
+                                  cdf512, k, interpret)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("k", "bc", "interpret"))
+        def vrenc2_i_pal(z_qc, q16c, binsc, idxc, nkc, cdf512, k, bc,
+                         interpret=False):
+            return _enc_fused_pal(_parts_v2(None, None, None, None, None,
+                                            z_qc, q16c, binsc, idxc, nkc,
+                                            k, 0, bc),
+                                  cdf512, k, interpret)
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n", "k", "shape", "bucket"))
+        def vrdec_seg_y_el(words, states, g0, bins, idx, nkeep, tables,
+                           n, k, shape, bucket):
+            """Decode one elided y segment and scatter it back to the
+            dense [B, H, W, C] layout (one-hot matmul, no TPU scatter)."""
+            B = words.shape[0]
+            H, W, C = shape
+            hw = H * W
+            rows = _gather_ch(bins, idx, bucket).reshape(B, bucket * hw) \
+                + OFF["y"]
+            pos_ch = jnp.arange(bucket * hw, dtype=jnp.int32) // hw
+            valid = pos_ch[None, :] < nkeep[:, None]
+            rows = jnp.where(valid, rows, OFF["y"])
+            rows = jnp.pad(rows, ((0, 0), (0, n - bucket * hw)),
+                           constant_values=OFF["y"])
+            syms, st, g = vrans.decode_batch(
+                words, states, rows, tables, n=n, k=k, g0=g0,
+                return_carry=True)
+            yk = (syms[:, :bucket * hw] - AC_MAX_VAL).astype(jnp.float32)
+            yk = jnp.where(valid, yk, 0.0).reshape(B, bucket, hw)
+            # dense[c] = sum_j onehot(idx_j == c) * yk_j ; padded slots
+            # are zeroed above so a padded idx of 0 contributes nothing.
+            oh = _oh(idx, C)                          # [B, bucket, C]
+            dense = jax.lax.dot_general(
+                oh, yk, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                precision=jax.lax.Precision.HIGHEST)  # [B, C, hw]
+            y = dense.astype(jnp.int16).reshape(B, C, H, W).transpose(
+                0, 2, 3, 1)
+            return y, st, g
+
+        self._chan_mask = chan_mask
+        self._vrenc2_pb = vrenc2_pb
+        self._vrenc2_i = vrenc2_i
+        self._vrenc2_pb_pal = vrenc2_pb_pal
+        self._vrenc2_i_pal = vrenc2_i_pal
+        self._vrdec_seg_y_el = vrdec_seg_y_el
+
         self._vrenc_fused_pb = vrenc_fused_pb
         self._vrenc_fused_i = vrenc_fused_i
         self._vrenc_fused_pb_pal = vrenc_fused_pb_pal
@@ -683,7 +836,16 @@ class FrameCodec:
             "z_qc": z_qc, "y_cqc": y_cqc, "bins_c": bins_c,
             "decoded": decoded,
         }
-        if self.backend == "device":
+        if self.backend == "device" and self.elide:
+            # v2 path: queue only the per-channel nonzero masks here; the
+            # fused encode launches in encode_frames_finish once the
+            # masks (a few dozen bytes) are on host — the gather bucket
+            # is a static specialization, so it must be known before the
+            # encode program can be picked.
+            handles["mask_m"] = (None if frame_type == FRAME_I
+                                 else self._chan_mask(y_cqm[0]))
+            handles["mask_c"] = self._chan_mask(y_cqc[0])
+        elif self.backend == "device":
             # Queue the on-device FUSED entropy coding of the whole frame
             # right behind the transforms — still zero host sync; the
             # host later pulls only compressed words.
@@ -702,7 +864,9 @@ class FrameCodec:
                                                    z_qc, y_cqc[0], bins_c,
                                                    cdf512, k=kk,
                                                    interpret=interp)
-                handles["vr"] = {"res": res, "k": kk, "fmt": "pallas"}
+                handles["vr"] = {"res": res, "k": kk, "fmt": "pallas",
+                                 "cols": ([2, 3] if frame_type == FRAME_I
+                                          else [0, 1, 2, 3])}
             else:
                 if frame_type == FRAME_I:
                     res = self._vrenc_fused_i(z_qc, y_cqc[0], bins_c,
@@ -711,8 +875,92 @@ class FrameCodec:
                     res = self._vrenc_fused_pb(z_qm, y_cqm[0], bins_m,
                                                z_qc, y_cqc[0], bins_c,
                                                self.vr_enc, k=kk)
-                handles["vr"] = {"res": res, "k": kk, "fmt": "xla"}
+                handles["vr"] = {"res": res, "k": kk, "fmt": "xla",
+                                 "cols": ([2, 3] if frame_type == FRAME_I
+                                          else [0, 1, 2, 3])}
         return handles
+
+    def _launch_vr2(self, handles):
+        """v2 host half: pull the channel masks (a few dozen bytes —
+        the ONLY extra sync of the elided format), derive the wave-shared
+        buckets + per-frame kept-channel indices, and launch the fused
+        device encode at the right static specialization."""
+        frame_type = handles["frame_type"]
+        k = handles["k"]
+        cm = self.cfg.mofnet.nb_ft_y
+        cc = self.cfg.codecnet.nb_ft_y
+        mask_c = np.asarray(handles["mask_c"])
+        mask_m = (np.asarray(handles["mask_m"])
+                  if handles.get("mask_m") is not None else None)
+        bc = vrans.elide_bucket(int(mask_c.sum(axis=1).max()), cc)
+        bm = (vrans.elide_bucket(int(mask_m.sum(axis=1).max()), cm)
+              if mask_m is not None else 0)
+
+        def pack_idx(mask, bucket):
+            idx = np.zeros((k, max(bucket, 1)), np.int32)
+            nk = np.zeros((k,), np.int32)
+            for i in range(k):
+                ch = np.nonzero(mask[i])[0]
+                nk[i] = ch.size
+                idx[i, :ch.size] = ch
+            return jnp.asarray(idx), jnp.asarray(nk)
+
+        idxc, nkc = pack_idx(mask_c, bc)
+        idxm = nkm = None
+        if mask_m is not None:
+            idxm, nkm = pack_idx(mask_m, bm)
+
+        bitmaps = []
+        for i in range(k):
+            per = []
+            if mask_m is not None:
+                per.append(vrans.chan_bitmap(mask_m[i]))
+            per.append(vrans.chan_bitmap(mask_c[i]))
+            bitmaps.append(per)
+
+        n8, _ = self._fused_n2(frame_type, 8, bm, bc)
+        kk = self._pick_k(frame_type, n_total=n8)
+        n_total, _ = self._fused_n2(frame_type, kk, bm, bc)
+        cols = []
+        if frame_type != FRAME_I:
+            cols.append(0)
+            if bm:
+                cols.append(1)
+        cols.append(2)
+        if bc:
+            cols.append(3)
+
+        z_qm, y_cqm, bins_m = (handles["z_qm"], handles["y_cqm"],
+                               handles["bins_m"])
+        z_qc, y_cqc, bins_c = (handles["z_qc"], handles["y_cqc"],
+                               handles["bins_c"])
+        pal = self._use_pallas_enc(n_total, kk)
+        if pal:
+            interp = pal == "interpret"
+            cdf512 = self.vr_dec.cdf512_f32
+            if frame_type == FRAME_I:
+                res = self._vrenc2_i_pal(z_qc, y_cqc[0], bins_c, idxc, nkc,
+                                         cdf512, k=kk, bc=bc,
+                                         interpret=interp)
+            else:
+                res = self._vrenc2_pb_pal(z_qm, y_cqm[0], bins_m, idxm,
+                                          nkm, z_qc, y_cqc[0], bins_c,
+                                          idxc, nkc, cdf512, k=kk, bm=bm,
+                                          bc=bc, interpret=interp)
+            fmt = "pallas"
+        else:
+            if frame_type == FRAME_I:
+                res = self._vrenc2_i(z_qc, y_cqc[0], bins_c, idxc, nkc,
+                                     self.vr_enc, k=kk, bc=bc)
+            else:
+                res = self._vrenc2_pb(z_qm, y_cqm[0], bins_m, idxm, nkm,
+                                      z_qc, y_cqc[0], bins_c, idxc, nkc,
+                                      self.vr_enc, k=kk, bm=bm, bc=bc)
+            fmt = "xla"
+        handles["vr"] = {"res": res, "k": kk, "fmt": fmt, "v2": True,
+                         "bm": bm, "bc": bc, "bitmaps": bitmaps,
+                         "cols": cols,
+                         "idx": (idxm, nkm, idxc, nkc)}
 
     def _use_pallas_enc(self, n_total: int, k: int):
         """Route the fused encode through the Pallas kernel?  Same stream
@@ -756,6 +1004,38 @@ class FrameCodec:
             r = b.reshape(-1).astype(np.int64) + OFF["y"]
             pad_to(v, r, PAD["y"], OFF["y"])
 
+        def add_y_el(y, b, idx_i, nk_i, bucket):
+            """v2: channel-major kept channels; per-frame slots beyond
+            nkeep carry the pad symbol (mirrors _y_seg_el)."""
+            H, W, C = y.shape
+            hw = H * W
+            yt = y.transpose(2, 0, 1).reshape(C, hw)
+            bt = b.transpose(2, 0, 1).reshape(C, hw)
+            v = np.full(bucket * hw, PAD["y"], np.int64)
+            r = np.full(bucket * hw, OFF["y"], np.int64)
+            for j in range(int(nk_i)):
+                c = int(idx_i[j])
+                v[j * hw:(j + 1) * hw] = yt[c].astype(np.int64) + AC_MAX_VAL
+                r[j * hw:(j + 1) * hw] = bt[c].astype(np.int64) + OFF["y"]
+            pad_to(v, r, PAD["y"], OFF["y"])
+
+        vr = handles["vr"]
+        if vr.get("v2"):
+            idxm, nkm, idxc, nkc = [None if a is None else np.asarray(a)
+                                    for a in vr["idx"]]
+            if handles["frame_type"] != FRAME_I:
+                add_z(np.asarray(handles["z_qm"], np.int32)[i], "z_m")
+                if vr["bm"]:
+                    add_y_el(np.asarray(handles["y_cqm"][0], np.int32)[i],
+                             np.asarray(handles["bins_m"], np.int32)[i],
+                             idxm[i], nkm[i], vr["bm"])
+            add_z(np.asarray(handles["z_qc"], np.int32)[i], "z_c")
+            if vr["bc"]:
+                add_y_el(np.asarray(handles["y_cqc"][0], np.int32)[i],
+                         np.asarray(handles["bins_c"], np.int32)[i],
+                         idxc[i], nkc[i], vr["bc"])
+            return np.concatenate(syms), np.concatenate(rows)
+
         if handles["frame_type"] != FRAME_I:
             add_z(np.asarray(handles["z_qm"], np.int32)[i], "z_m")
             add_y(np.asarray(handles["y_cqm"][0], np.int32)[i],
@@ -796,8 +1076,19 @@ class FrameCodec:
         stats = [dict() for _ in range(k)]
 
         if self.backend == "device":
+            if "vr" not in handles:
+                # v2 (elided) path: the fused encode could not launch
+                # until the channel masks reached the host.
+                self._launch_vr2(handles)
             vr = handles["vr"]
             kk = vr["k"]
+
+            def _ser(i, words):
+                if vr.get("v2"):
+                    return vrans.serialize_chunk_v2(
+                        kk, states_np[i], words, vr["bitmaps"][i])
+                return vrans.serialize_chunk(kk, states_np[i], words)
+
             if vr.get("fmt") == "pallas":
                 # Kernel layout: words of frame i are buf[i, seg_g[i,0]:g0]
                 # (decode order, descending-cursor write); segment counts
@@ -811,9 +1102,6 @@ class FrameCodec:
                 bounds = np.concatenate(
                     [seg_g_np, np.full((k, 1), g0, seg_g_np.dtype)], axis=1)
                 segw_np = np.diff(bounds, axis=1)
-                if seg_g_np.shape[1] == 2:   # I-frame: [z_c, y_c]
-                    segw_np = np.concatenate(
-                        [np.zeros((k, 2), segw_np.dtype), segw_np], axis=1)
                 mmax = int(totals_np.max())
                 rows = None
                 if mmax > 0:
@@ -823,16 +1111,12 @@ class FrameCodec:
                     t = int(totals_np[i])
                     words = (rows[i, rows.shape[1] - t:]
                              if t > 0 else np.empty(0, np.uint16))
-                    per_frame_chunks[i]["codecnet_z"] = \
-                        vrans.serialize_chunk(kk, states_np[i], words)
+                    per_frame_chunks[i]["codecnet_z"] = _ser(i, words)
             else:
                 buf, states, totals, segw = vr["res"]
                 totals_np = np.asarray(totals)
                 states_np = np.asarray(states)
                 segw_np = np.asarray(segw)
-                if segw_np.shape[1] == 2:    # I-frame: align to 4 columns
-                    segw_np = np.concatenate(
-                        [np.zeros((k, 2), segw_np.dtype), segw_np], axis=1)
                 mmax = int(totals_np.max())
                 rows = None
                 if mmax > 0:
@@ -844,8 +1128,12 @@ class FrameCodec:
                     # One fused chunk per frame, carried in the first
                     # present chunk slot of the reference's 4-chunk frame
                     # container.
-                    per_frame_chunks[i]["codecnet_z"] = \
-                        vrans.serialize_chunk(kk, states_np[i], words)
+                    per_frame_chunks[i]["codecnet_z"] = _ser(i, words)
+            # Map per-part word counts onto the fixed (z_m, y_m, z_c, y_c)
+            # columns (parts present vary with frame type and elision).
+            full4 = np.zeros((k, 4), segw_np.dtype)
+            full4[:, vr["cols"]] = segw_np
+            segw_np = full4
             if frame_type == FRAME_I:
                 for s in stats:
                     s["alpha_mean"] = 1.0
@@ -866,13 +1154,9 @@ class FrameCodec:
                 stats[i]["bytes"] = len(fb)
                 # Per-net byte split from the fused stream's per-segment
                 # word counts (informational; the state flush + header are
-                # not attributed).
-                if frame_type == FRAME_I:
-                    stats[i]["mode_bytes"] = 0
-                    stats[i]["codec_bytes"] = 2 * int(segw_np[i].sum())
-                else:
-                    stats[i]["mode_bytes"] = 2 * int(segw_np[i, :2].sum())
-                    stats[i]["codec_bytes"] = 2 * int(segw_np[i, 2:].sum())
+                # not attributed).  segw_np is 4-col mapped above.
+                stats[i]["mode_bytes"] = 2 * int(segw_np[i, :2].sum())
+                stats[i]["codec_bytes"] = 2 * int(segw_np[i, 2:].sum())
             self._update_k_hint(
                 frame_type,
                 int(np.mean([len(fbx) for fbx in frame_bytes])))
@@ -955,47 +1239,94 @@ class FrameCodec:
         bins, stream states and word offsets never leave the device."""
         p = self.params
         payloads = [c["codecnet_z"] for c in chunks]
-        parsed = [vrans.parse_chunk(pl, 0) for pl in payloads]
+        parsed = [vrans.parse_chunk_v2(pl) for pl in payloads]
         kk = parsed[0][2]
-        if any(pk != kk for _, _, pk in parsed):
+        if any(pk != kk for _, _, pk, _ in parsed):
             raise ValueError("inconsistent vrans stream counts in a wave")
-        _, segs = self._fused_n(frame_type, kk)
-        mmax = max(w.size for w, _, _ in parsed)
+        v2 = parsed[0][3] is not None
+        if any((pb is not None) != v2 for _, _, _, pb in parsed):
+            raise ValueError("mixed v1/v2 vrans chunks in a wave")
+        cm = self.cfg.mofnet.nb_ft_y
+        cc = self.cfg.codecnet.nb_ft_y
+        if v2:
+            # Derive the wave-shared buckets + per-frame kept channels
+            # from the bitstream bitmaps — the decoder's counterpart of
+            # _launch_vr2's mask pull, guaranteeing identical segments.
+            ch_m, ch_c = [], []
+            for _, _, _, bms in parsed:
+                if frame_type != FRAME_I:
+                    ch_m.append(vrans.bitmap_channels(bms[0], cm))
+                    ch_c.append(vrans.bitmap_channels(bms[1], cc))
+                else:
+                    ch_c.append(vrans.bitmap_channels(bms[0], cc))
+            bc = vrans.elide_bucket(max(c.size for c in ch_c), cc)
+            bm = (vrans.elide_bucket(max(c.size for c in ch_m), cm)
+                  if ch_m else 0)
+
+            def pack_idx(chs, bucket):
+                idx = np.zeros((k, max(bucket, 1)), np.int32)
+                nk = np.zeros((k,), np.int32)
+                for i, ch in enumerate(chs):
+                    nk[i] = ch.size
+                    idx[i, :ch.size] = ch
+                return jnp.asarray(idx), jnp.asarray(nk)
+
+            idxc, nkc = pack_idx(ch_c, bc)
+            idxm, nkm = pack_idx(ch_m, bm) if ch_m else (None, None)
+            _, segs = self._fused_n2(frame_type, kk, bm, bc)
+        else:
+            _, segs = self._fused_n(frame_type, kk)
+        seg_it = iter(segs)
+        mmax = max(w.size for w, _, _, _ in parsed)
         m = vrans.bucket(max(mmax, 1), 1 << 30)
         wb = np.zeros((len(parsed), m), np.uint16)
-        for i, (w, _, _) in enumerate(parsed):
+        for i, (w, _, _, _) in enumerate(parsed):
             wb[i, :w.size] = w
         words = jnp.asarray(wb)
-        st = jnp.asarray(np.stack([s for _, s, _ in parsed]))
+        st = jnp.asarray(np.stack([s for _, s, _, _ in parsed]))
         g = jnp.zeros((len(parsed),), jnp.int32)
         t = self.vr_dec
 
         if frame_type == FRAME_I:
             pred = jnp.zeros((k, self.hp, self.wp, 3), jnp.float32)
             skip = jnp.zeros_like(pred)
-            seg_zc, seg_yc = segs
         else:
-            seg_zm, seg_ym, seg_zc, seg_yc = segs
             z_qm, st, g = self._vrdec_seg_z(
-                words, st, g, t, n=seg_zm, k=kk,
+                words, st, g, t, n=next(seg_it), k=kk,
                 shape=(self.hz, self.wz, self.cfg.mofnet.nb_ft_z),
                 off=self._row_off["z_m"])
             mu_m, bins_m = self._mof_hyper(p, z_qm)
-            y_cqm, st, g = self._vrdec_seg_y(
-                words, st, g, bins_m, t, n=seg_ym, k=kk,
-                shape=(self.hy, self.wy, self.cfg.mofnet.nb_ft_y))
+            yshape_m = (self.hy, self.wy, cm)
+            if not v2:
+                y_cqm, st, g = self._vrdec_seg_y(
+                    words, st, g, bins_m, t, n=next(seg_it), k=kk,
+                    shape=yshape_m)
+            elif bm:
+                y_cqm, st, g = self._vrdec_seg_y_el(
+                    words, st, g, bins_m, idxm, nkm, t, n=next(seg_it),
+                    k=kk, shape=yshape_m, bucket=bm)
+            else:
+                y_cqm = jnp.zeros((k,) + yshape_m, jnp.int16)
             mof = self._mof_synth(p, y_cqm, mu_m, prev, nxt, rate,
                                   ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
 
         z_qc, st, g = self._vrdec_seg_z(
-            words, st, g, t, n=seg_zc, k=kk,
+            words, st, g, t, n=next(seg_it), k=kk,
             shape=(self.hz, self.wz, self.cfg.codecnet.nb_ft_z),
             off=self._row_off["z_c"])
         mu_c, bins_c = self._cod_hyper(p, z_qc)
-        y_cqc, st, g = self._vrdec_seg_y(
-            words, st, g, bins_c, t, n=seg_yc, k=kk,
-            shape=(self.hy, self.wy, self.cfg.codecnet.nb_ft_y))
+        yshape_c = (self.hy, self.wy, cc)
+        if not v2:
+            y_cqc, st, g = self._vrdec_seg_y(
+                words, st, g, bins_c, t, n=next(seg_it), k=kk,
+                shape=yshape_c)
+        elif bc:
+            y_cqc, st, g = self._vrdec_seg_y_el(
+                words, st, g, bins_c, idxc, nkc, t, n=next(seg_it),
+                k=kk, shape=yshape_c, bucket=bc)
+        else:
+            y_cqc = jnp.zeros((k,) + yshape_c, jnp.int16)
         planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip,
                                              rate, ftype=frame_type)
         return self._split_decoded(planes_dev, ref444, k)

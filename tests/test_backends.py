@@ -113,3 +113,80 @@ def test_pallas_encode_path_bitstream_identical(params, monkeypatch):
 
     dec = decode_video(codec_a, res_b.bitstream, wave_batch=2)
     _assert_bit_exact(res_a, dec)
+
+
+def test_elided_v2_stream_smaller_and_bit_exact(monkeypatch, tmp_path):
+    """The v2 fused format (zero feature maps elided on device) must (a)
+    decode bit-exactly, (b) shrink the bitstream on a trained model whose
+    latents are channel-sparse, and (c) stay decodable by a codec whose
+    own encoding mode is dense (the format is per-chunk, not per-codec)."""
+    import jax
+    import numpy as np
+
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video
+    from aivc_tpu.utils.checkpoint import load_checkpoint
+
+    cfg, params = load_checkpoint("models_ckpt/tiny-toy")
+    h, w = 96, 112
+    rng = np.random.default_rng(3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = []
+    for t in range(5):
+        y = np.clip(128 + 70 * np.sin(xx / 21.0 + 0.15 * t)
+                    + 40 * np.cos(yy / 13.0), 0, 255).astype(np.uint8)
+        u = np.clip(128 + 40 * np.sin((xx + yy) / 37.0), 0,
+                    255).astype(np.uint8)[::2, ::2]
+        frames.append({"y": y, "u": u, "v": 255 - u})
+    coding = CodingConfig(coding_config="RA", gop_size=4, intra_period=4)
+
+    monkeypatch.setenv("AIVC_VRANS_ELIDE", "0")
+    codec_dense = FrameCodec(cfg, params, h, w)
+    assert not codec_dense.elide
+    res_dense = encode_video(codec_dense, frames, coding)
+
+    monkeypatch.setenv("AIVC_VRANS_ELIDE", "1")
+    codec_el = FrameCodec(cfg, params, h, w)
+    assert codec_el.elide
+    res_el = encode_video(codec_el, frames, coding)
+
+    # (b) the elided stream codes strictly fewer rANS words (zero
+    # channels dropped); at this toy latent size (42-pixel grids) the
+    # per-frame bitmap overhead can outweigh the ~0.01-bit/symbol zero
+    # cost, so assert words (the elision effect) and a bounded total.
+    from aivc_tpu.coding import bitstream as bs_mod
+    from aivc_tpu.coding import vrans
+
+    def frame_words(bitstream):
+        _, gops = bs_mod.unpack_video(bitstream)
+        counts = []
+        for g in gops:
+            _, frames_b = bs_mod.unpack_gop(g)
+            for fb in frames_b:
+                payload = bs_mod.unpack_frame(fb)["codecnet_z"]
+                w, _, _, _ = vrans.parse_chunk_v2(payload)
+                counts.append(w.size)
+        return counts
+
+    w_el = frame_words(res_el.bitstream)
+    w_dense = frame_words(res_dense.bitstream)
+    assert sum(w_el) < sum(w_dense)
+    assert res_el.total_bytes <= res_dense.total_bytes + 12 * len(frames)
+
+    # (a) closed loop for the elided stream
+    dec = decode_video(codec_el, res_el.bitstream)
+    for i in dec:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(dec[i][k],
+                                          res_el.decoded_frames[i][k])
+
+    # (c) cross: dense codec decodes the elided stream and vice versa
+    dec_x = decode_video(codec_dense, res_el.bitstream)
+    dec_y = decode_video(codec_el, res_dense.bitstream)
+    for i in dec_x:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(dec_x[i][k],
+                                          res_el.decoded_frames[i][k])
+            np.testing.assert_array_equal(dec_y[i][k],
+                                          res_dense.decoded_frames[i][k])
