@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import functools
 import jax
+import jax.numpy as jnp
 import optax
 
 from aivc_tpu.config import ModelConfig
@@ -59,10 +60,23 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
             return loss, logs
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = optimizer.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
+        gnorm = optax.global_norm(grads)
+        # Skip non-finite steps: clipping rescales AFTER the norm, so a
+        # single inf/nan batch would otherwise poison params and optimizer
+        # state irrecoverably (observed: MS-SSIM fine-tune NaN'd at ~5k
+        # steps from one blow-up batch).  The step becomes a no-op and
+        # training continues.
+        ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        new_updates, new_opt_state = optimizer.update(grads, opt_state,
+                                                      params)
+        new_params = optax.apply_updates(params, new_updates)
+        params = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                              new_params, params)
+        opt_state = jax.tree.map(lambda n, o: jnp.where(ok, n, o),
+                                 new_opt_state, opt_state)
         logs["loss"] = loss
-        logs["grad_norm"] = optax.global_norm(grads)
+        logs["grad_norm"] = gnorm
+        logs["step_skipped"] = (~ok).astype(jnp.float32)
         return params, opt_state, logs
 
     return train_step
