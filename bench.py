@@ -66,9 +66,17 @@ def main():
     # Prefer the trained flagship checkpoint when present (trained latents
     # are sparse/low-entropy, which is what production coding looks like);
     # BENCH_CKPT=<dir> overrides, BENCH_CKPT=none forces random init.
+    # Default checkpoint: bf16-toy (30k-step run).  bf16-v3 is the better
+    # RD model (monotone rate ladder, +0.5 dB at 30% fewer bits) but its
+    # ACTIVE motion path codes ~2x the symbols, benching ~2.6 fps vs
+    # toy's ~3.5 on the same pipeline — BENCH_CKPT switches.
     ckpt = os.environ.get("BENCH_CKPT", "")
-    if not ckpt and os.path.isdir("/root/repo/models_ckpt/bf16-toy"):
-        ckpt = "/root/repo/models_ckpt/bf16-toy"
+    if not ckpt:
+        for cand in ("/root/repo/models_ckpt/bf16-toy",
+                     "/root/repo/models_ckpt/bf16-v3"):
+            if os.path.isdir(cand):
+                ckpt = cand
+                break
     if ckpt and ckpt != "none" and os.path.isdir(ckpt):
         from aivc_tpu.utils.checkpoint import load_checkpoint
 
