@@ -503,7 +503,12 @@ def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
 
 
 def _pallas_ok(n: int, k: int) -> bool:
-    if k % 128 or k // 128 not in _SUBS:
+    # Auto mode uses only the 8-sublane kernels: at sub = 16 the
+    # [16,128,512] f32 lookup intermediates alone exceed the 16 MB
+    # scoped-VMEM limit with a real (many-row) CDF table (hardware
+    # compile OOM at 20.5 MB).  The 16-sublane kernels stay callable
+    # explicitly and bit-exact-tested for a future VMEM-tiled revision.
+    if k != _SUB * 128:
         return False
     _, n_pad = plan(n, k)
     # words VMEM footprint (u16) + headroom for the [sub,128,512] f32
@@ -878,7 +883,7 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
 
 
 def _enc_pallas_ok(n: int, k: int) -> bool:
-    if k % 128 or k // 128 not in _SUBS:
+    if k != _SUB * 128:   # see _pallas_ok: sub = 16 exceeds scoped VMEM
         return False
     _, n_pad = plan(n, k)
     return n_pad * 2 <= 6 * 1024 * 1024
