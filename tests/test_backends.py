@@ -190,3 +190,42 @@ def test_elided_v2_stream_smaller_and_bit_exact(monkeypatch, tmp_path):
                                           res_el.decoded_frames[i][k])
             np.testing.assert_array_equal(dec_y[i][k],
                                           res_dense.decoded_frames[i][k])
+
+
+def test_elided_bucket_zero_black_clip():
+    """Fully-zero y latents (flat black input on a trained model) take
+    the bucket-0 path: NO y segments in the stream, decoder reconstructs
+    zero latents, roundtrip stays bit-exact."""
+    import numpy as np
+
+    from aivc_tpu.coding import bitstream as bs
+    from aivc_tpu.coding import vrans
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video
+    from aivc_tpu.utils.checkpoint import load_checkpoint
+
+    cfg, params = load_checkpoint("models_ckpt/tiny-toy")
+    h, w = 64, 64
+    black = [{"y": np.full((h, w), 16, np.uint8),
+              "u": np.full((h // 2, w // 2), 128, np.uint8),
+              "v": np.full((h // 2, w // 2), 128, np.uint8)}
+             for _ in range(3)]
+    codec = FrameCodec(cfg, params, h, w)
+    coding = CodingConfig(coding_config="RA", gop_size=2, intra_period=2)
+    res = encode_video(codec, black, coding)
+    dec = decode_video(codec, res.bitstream)
+    for i in dec:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(dec[i][k],
+                                          res.decoded_frames[i][k])
+    # every frame's bitmaps must be empty (bucket 0 on both nets)
+    _, gops = bs.unpack_video(res.bitstream)
+    for g in gops:
+        _, fbs = bs.unpack_gop(g)
+        for fb in fbs:
+            _, _, _, bms = vrans.parse_chunk_v2(
+                bs.unpack_frame(fb)["codecnet_z"])
+            assert all(
+                vrans.bitmap_channels(bm, cfg.codecnet.nb_ft_y).size == 0
+                for bm in bms)
