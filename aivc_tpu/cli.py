@@ -53,6 +53,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wave_batch", type=int, default=1,
                    help="code temporal waves as device batches of up to N "
                         "frames (must match between encode and decode)")
+    p.add_argument("--rate_priority", action="store_true",
+                   help="favor bitstream size over speed: drop the rANS "
+                        "stream-count floor so the per-frame state flush "
+                        "stays ~1%% of the payload (RD sweeps)")
     p.add_argument("--entropy_backend", default="device",
                    choices=["device", "host"],
                    help="latent entropy coder for ENCODING: on-accelerator "
@@ -118,7 +122,8 @@ def main(argv=None) -> int:
     decoded = None
     if args.mode in ("all", "encode"):
         codec = FrameCodec(cfg, params, h, w, debug=args.bitstream_debug,
-                           entropy_backend=args.entropy_backend)
+                           entropy_backend=args.entropy_backend,
+                           rate_priority=args.rate_priority)
         t0 = time.time()
         res = encode_video(codec, frames, coding, wave_batch=args.wave_batch)
         dt = time.time() - t0

@@ -137,8 +137,15 @@ class FrameCodec:
 
     def __init__(self, cfg: ModelConfig, params, height: int, width: int,
                  debug: bool = False, mesh=None,
-                 entropy_backend: str = "device"):
+                 entropy_backend: str = "device",
+                 rate_priority: bool = False):
         self.cfg = cfg
+        # Rate-priority mode (RD sweeps): drop the scan-depth floor on the
+        # stream count so the per-frame K-state flush shrinks to ~1% of
+        # the payload even at the lowest ladder rates.  Encoder-private
+        # policy — K is read back from the chunk header, so decoding is
+        # unaffected.  Costs wall clock (deeper sequential rANS scans).
+        self.rate_priority = rate_priority
         # Debug mode: per-chunk lossless self-check + estimated-vs-real
         # rate report (reference: bitstream.py:307-350).
         self.debug = debug
@@ -264,7 +271,10 @@ class FrameCodec:
         floored so the rANS scan stays <= 2048 steps — the sequential
         decode is LATENCY-bound per step, so deep scans dominate wall
         clock long before the state-flush overhead matters.
-        AIVC_VRANS_K overrides (tests / tuning)."""
+        Rate-priority mode relaxes the floor to 65536 steps and sizes K
+        for ~1% flush overhead instead of ~5% (docs/STATUS.md: at the
+        lowest ladder rates the 4 KB flush of K = 1024 can exceed the
+        1080p payload itself).  AIVC_VRANS_K overrides (tests / tuning)."""
         import os
 
         env_k = os.environ.get("AIVC_VRANS_K")
@@ -272,15 +282,17 @@ class FrameCodec:
             return int(env_k)
         if n_total is None:
             n_total, _ = self._fused_n(frame_type, 8)
+        max_steps = 65536 if self.rate_priority else 2048
+        bytes_per_stream = 800 if self.rate_priority else 80
         k_lo = 8
-        while n_total // k_lo > 2048:
+        while n_total // k_lo > max_steps:
             k_lo *= 2
         hint = self._k_hint.get(frame_type)
         if hint is None:
-            k = vrans.pick_k(n_total)
+            k = 8 if self.rate_priority else vrans.pick_k(n_total)
         else:
             k = 8
-            while k < vrans.K_MAX and k * 2 * 80 <= hint:
+            while k < vrans.K_MAX and k * 2 * bytes_per_stream <= hint:
                 k *= 2
         return max(k_lo, min(k, vrans.K_MAX))
 

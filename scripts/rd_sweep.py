@@ -69,7 +69,9 @@ def main():
         h, w = args.h, args.w
         frames = synthetic_frames(args.frames, h, w)
 
-    codec = FrameCodec(cfg, params, h, w)
+    # RD sweeps favor bytes over speed: rate-priority K policy keeps the
+    # per-frame rANS state flush ~1% of the payload at every ladder rate.
+    codec = FrameCodec(cfg, params, h, w, rate_priority=True)
     n_rates = len(cfg.lambda_tradeoff)
     rates = ([float(r) for r in args.rates.split(",")] if args.rates
              else [float(i) for i in range(n_rates)])

@@ -150,3 +150,34 @@ def test_odd_dimensions_roundtrip():
     _assert_bit_exact(res, dec)
     assert dec[0]["y"].shape == (h, w)
     assert dec[0]["u"].shape == ((h + 1) // 2, (w + 1) // 2)
+
+
+def test_rate_priority_policy_and_roundtrip(codec):
+    """Rate-priority K policy: smaller stream counts (smaller state
+    flush) than the default, same bit-exact closed loop — the decoder
+    reads K from the chunk header, so any codec decodes the stream."""
+    from aivc_tpu.gop import FRAME_I
+    from aivc_tpu.models.zoo import init_fullnet as _init
+
+    _, params = _init(TINY, spatial=64)
+    rp = FrameCodec(TINY, params, 1088, 1920, rate_priority=True)
+    default = FrameCodec(TINY, params, 1088, 1920)
+    # First frame (no payload hint yet): rate-priority starts at the
+    # scan-depth floor instead of the throughput-sized pick_k.
+    assert rp._pick_k(FRAME_I) < default._pick_k(FRAME_I)
+    # Low-rate hint (2 KB/frame payload at 1080p): the default policy is
+    # pinned at its 2048-step floor; rate-priority drops well below it.
+    rp._update_k_hint(FRAME_I, 2048)
+    default._update_k_hint(FRAME_I, 2048)
+    k_rp, k_def = rp._pick_k(FRAME_I), default._pick_k(FRAME_I)
+    assert k_rp < k_def
+    assert k_rp * 4 <= 64  # flush <= 64 B against a 2 KB payload
+
+    # Closed loop at test size: rate-priority encode, default decode.
+    rp_small = FrameCodec(TINY, params, H, W, rate_priority=True)
+    frames = _synthetic_frames(5)
+    cfg = CodingConfig(coding_config="RA", gop_size=4, intra_period=4,
+                       idx_rate=6.0)
+    res = encode_video(rp_small, frames, cfg)
+    decoded = decode_video(codec, res.bitstream)
+    _assert_bit_exact(res, decoded)
