@@ -403,9 +403,88 @@ def _win_rows(sub: int) -> int:
     return w + (-w) % 8
 
 
+def _cdf_dec_lookup8(r8, slot8, cdf_ref):
+    """One 8-sublane tile of the decode lookup: [8, 128] (row, slot) ->
+    (sym i32, start u32, freq u32) via the comparison-based inverse CDF.
+
+    Kept at 8 sublanes regardless of the kernel's K so the [8, 128, 512]
+    f32 intermediates stay VMEM-bounded: at 16 sublanes the un-tiled
+    lookup alone exceeded the 16 MB scoped-VMEM limit with a real
+    (many-row) CDF table (hardware compile OOM at 20.5 MB)."""
+    n_rows = cdf_ref.shape[0]
+    oh_r = (r8[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (8, 128, n_rows), 2)).astype(jnp.float32)
+    # rc[s, l, j] = cdf[r[s,l], j + 1]  (column 0 of the true CDF is 0
+    # and is dropped so the table is exactly [R, 512])
+    rc = jax.lax.dot_general(
+        oh_r, cdf_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
+    # Mosaic has no u32<->f32 casts; all values fit int32, so hop via it.
+    slot_f = slot8.astype(jnp.int32).astype(jnp.float32)
+    le = rc <= slot_f[:, :, None]
+    s = jnp.sum(le.astype(jnp.int32), axis=2)        # [8, 128] symbol
+    # start/next via masked max/min on the monotone rows (same selects as
+    # the XLA decode path, exact in f32) — one-hot select tensors would
+    # add ~6 MB of VMEM stack per tile.
+    start = jnp.max(jnp.where(le, rc, 0.0), axis=2).astype(
+        jnp.int32).astype(jnp.uint32)                    # 0 when s==0
+    nxt = jnp.min(jnp.where(le, jnp.float32(np.inf), rc), axis=2).astype(
+        jnp.int32).astype(jnp.uint32)
+    return s, start, nxt - start
+
+
+def _cdf_enc_lookup8(r8, s8, cdf_ref):
+    """One 8-sublane tile of the encode lookup: [8, 128] (row, symbol) ->
+    (start_f, freq_f) as exact f32 integers.  See _cdf_dec_lookup8 for
+    why the tile is fixed at 8 sublanes."""
+    n_rows = cdf_ref.shape[0]
+    oh_r = (r8[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (8, 128, n_rows), 2)).astype(jnp.float32)
+    rc = jax.lax.dot_general(
+        oh_r, cdf_ref[:],
+        dimension_numbers=(((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
+    # cdf[s] = max of the monotone row over columns <= s - 1 (column j of
+    # rc holds cdf[j + 1]); masked maxes replace one-hot select tensors,
+    # saving ~6 MB of VMEM stack per tile.  Exact in f32.
+    e512 = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 512), 2)
+    m0 = e512 <= (s8 - 1)[:, :, None]
+    m1 = e512 <= s8[:, :, None]
+    start_f = jnp.max(jnp.where(m0, rc, 0.0), axis=2)    # 0 when s == 0
+    nxt_f = jnp.max(jnp.where(m1, rc, 0.0), axis=2)
+    return start_f, nxt_f - start_f
+
+
+def _tiled8(fn, get_a, get_b, cdf_ref, sub, scratch):
+    """Apply an 8-sublane lookup tile-by-tile over [sub, 128] operands.
+
+    get_a/get_b(off) load one [8, 128] tile at sublane offset `off`
+    (ref slices, not value slices — Mosaic handles dynamic ref indexing).
+    At sub == 8 this is a straight call.  At sub == 16 the two tiles run
+    in a fori_loop whose results land in VMEM scratch refs: Mosaic does
+    NOT reuse stack across statically unrolled tiles (two unrolled
+    lookups measured 26.5 MB of scoped VMEM on v5e — over the 16 MB
+    limit), but a real loop body's stack is reused across iterations."""
+    if sub == 8:
+        return fn(get_a(0), get_b(0), cdf_ref)
+
+    def tile(i, _):
+        off = pl.multiple_of(i * 8, 8)
+        outs = fn(get_a(off), get_b(off), cdf_ref)
+        for ref, val in zip(scratch, outs):
+            ref[pl.ds(off, 8), :] = val
+        return 0
+
+    jax.lax.fori_loop(0, sub // 8, tile, 0)
+    return tuple(ref[:] for ref in scratch)
+
+
 def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
                           cdf_ref, out_ref, states_out_ref, g_out_ref,
-                          x_ref, g_ref):
+                          x_ref, g_ref, *lk_refs):
     t = pl.program_id(1)
 
     bb = pl.program_id(0)
@@ -418,29 +497,12 @@ def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
 
     x = x_ref[:]                                     # [sub, 128] u32
     slot = x & _SLOT_MASK
-    r = rows_ref[0]                                  # [sub, 128] i32
 
-    n_rows = cdf_ref.shape[0]
-    oh_r = (r[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (sub, 128, n_rows), 2)).astype(jnp.float32)
-    # rc[s, l, j] = cdf[r[s,l], j + 1]  (column 0 of the true CDF is 0
-    # and is dropped so the table is exactly [R, 512])
-    rc = jax.lax.dot_general(
-        oh_r, cdf_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
-    # Mosaic has no u32<->f32 casts; all values fit int32, so hop via it.
-    slot_f = slot.astype(jnp.int32).astype(jnp.float32)
-    le = rc <= slot_f[:, :, None]
-    s = jnp.sum(le.astype(jnp.int32), axis=2)        # [8, 128] symbol
-    e512 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128, 512), 2)
-    oh_s0 = (e512 == (s - 1)[:, :, None]).astype(jnp.float32)
-    oh_s1 = (e512 == s[:, :, None]).astype(jnp.float32)
-    start = jnp.sum(rc * oh_s0, axis=2).astype(jnp.int32).astype(
-        jnp.uint32)                                      # 0 when s==0
-    nxt = jnp.sum(rc * oh_s1, axis=2).astype(jnp.int32).astype(jnp.uint32)
-    freq = nxt - start
+    s, start, freq = _tiled8(
+        _cdf_dec_lookup8,
+        lambda off: rows_ref[0, pl.ds(off, 8), :],
+        lambda off: x_ref[pl.ds(off, 8), :] & _SLOT_MASK,
+        cdf_ref, sub, lk_refs)
 
     x = freq * (x >> PROB_BITS) + slot - start
     # x < 2^16 as a sign-free test: Mosaic compares of uint32 can go
@@ -503,12 +565,11 @@ def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
 
 
 def _pallas_ok(n: int, k: int) -> bool:
-    # Auto mode uses only the 8-sublane kernels: at sub = 16 the
-    # [16,128,512] f32 lookup intermediates alone exceed the 16 MB
-    # scoped-VMEM limit with a real (many-row) CDF table (hardware
-    # compile OOM at 20.5 MB).  The 16-sublane kernels stay callable
-    # explicitly and bit-exact-tested for a future VMEM-tiled revision.
-    if k != _SUB * 128:
+    # Both widths are auto-eligible: the CDF lookup is tiled to 8-sublane
+    # blocks (_cdf_dec_lookup8), so the 16-sublane kernels no longer blow
+    # the scoped-VMEM limit.  The runtime probe (below, with a real-sized
+    # CDF table) still gates each width on this toolchain.
+    if k % 128 or k // 128 not in _SUBS:
         return False
     _, n_pad = plan(n, k)
     # words VMEM footprint (u16) + headroom for the [sub,128,512] f32
@@ -608,7 +669,9 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((sub, 128), jnp.uint32),
             pltpu.SMEM((1,), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((sub, 128), jnp.int32),
+              pltpu.VMEM((sub, 128), jnp.uint32),
+              pltpu.VMEM((sub, 128), jnp.uint32)] if sub > 8 else []),
         interpret=interpret,
     )(rows3, w3, states3, g02, cdf512_f32)
     syms = out.reshape(b, n_pad)[:, :n]
@@ -674,7 +737,7 @@ def _enc_div_u32(x, freq_f):
 
 def _encode_pallas_kernel(seg_ts, sub, sym_ref, rows_ref, cdf_ref,
                           words_ref, states_out_ref, segg_ref,
-                          x_ref, g_ref):
+                          x_ref, g_ref, *lk_refs):
     t = pl.program_id(1)
     bb = pl.program_id(0)
     wrb = words_ref.shape[1]
@@ -686,26 +749,14 @@ def _encode_pallas_kernel(seg_ts, sub, sym_ref, rows_ref, cdf_ref,
         g_ref[0] = g0
         words_ref[0] = jnp.zeros((wrb, 128), jnp.uint16)
 
-    s = sym_ref[0]                                   # [8, 128] i32 symbol
-    r = rows_ref[0]                                  # [8, 128] i32 row
-
-    # (start, freq) lookup — identical scheme to the decode kernel.
-    n_rows = cdf_ref.shape[0]
-    oh_r = (r[:, :, None] == jax.lax.broadcasted_iota(
-        jnp.int32, (sub, 128, n_rows), 2)).astype(jnp.float32)
-    rc = jax.lax.dot_general(
-        oh_r, cdf_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)       # [sub, 128, 512] exact
-    e512 = jax.lax.broadcasted_iota(jnp.int32, (sub, 128, 512), 2)
-    oh_s0 = (e512 == (s - 1)[:, :, None]).astype(jnp.float32)
-    oh_s1 = (e512 == s[:, :, None]).astype(jnp.float32)
-    start_f = jnp.sum(rc * oh_s0, axis=2)                # 0 when s == 0
-    nxt_f = jnp.sum(rc * oh_s1, axis=2)
-    freq_f = nxt_f - start_f
+    # (start, freq) lookup — identical scheme to the decode kernel,
+    # tiled to 8-sublane blocks (see _cdf_enc_lookup8).
+    start_f, freq_f = _tiled8(
+        _cdf_enc_lookup8,
+        lambda off: rows_ref[0, pl.ds(off, 8), :],
+        lambda off: sym_ref[0, pl.ds(off, 8), :],
+        cdf_ref, sub, lk_refs)
     start = start_f.astype(jnp.int32).astype(_U32)
-    freq_u = freq_f.astype(jnp.int32).astype(_U32)
 
     # rANS step (reverse order: the grid index map feeds blocks reversed).
     x = x_ref[:]
@@ -875,7 +926,8 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((sub, 128), _U32),
             pltpu.SMEM((1,), jnp.int32),
-        ],
+        ] + ([pltpu.VMEM((sub, 128), jnp.float32),
+              pltpu.VMEM((sub, 128), jnp.float32)] if sub > 8 else []),
         interpret=interpret,
     )(sym3, rows3, cdf512_f32)
     g0 = (wrb - _WIN_W) * 128
@@ -883,7 +935,7 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
 
 
 def _enc_pallas_ok(n: int, k: int) -> bool:
-    if k != _SUB * 128:   # see _pallas_ok: sub = 16 exceeds scoped VMEM
+    if k % 128 or k // 128 not in _SUBS:   # see _pallas_ok
         return False
     _, n_pad = plan(n, k)
     return n_pad * 2 <= 6 * 1024 * 1024
@@ -903,9 +955,14 @@ def pallas_runtime_ok(kind: str, sub: int = _SUB) -> bool:
     if got is None:
         k = sub * 128
         try:
-            cdf = np.zeros((1, 513), np.uint32)
-            cdf[0] = np.arange(513, dtype=np.uint32) * (
-                PROB_SCALE // 512)
+            # The probe table is sized like a REAL fused table (z channels
+            # + sigma bins ~ 176 rows for the flagship): VMEM compile OOMs
+            # scale with the row count, so a 1-row probe would pass while
+            # production tables fail (exactly the 16-sublane hardware OOM
+            # mode this probe exists to catch).
+            n_rows = 192
+            cdf = np.tile(np.arange(513, dtype=np.uint32) * (
+                PROB_SCALE // 512), (n_rows, 1))
             cdf512 = jnp.asarray(cdf[:, 1:].astype(np.float32))
             if kind == "enc":
                 out = encode_pallas_batch(
