@@ -126,9 +126,12 @@ class ModelConfig:
     )
     # Rate-distortion lambdas per rate index (highest rate first, mirroring
     # model.model_param['lambda_tradeoff'] in the reference pickles,
-    # reference: src/model_mngt/model_management.py:97,114).
+    # reference: src/model_mngt/model_management.py:97,114).  The ladder is
+    # geometric over ~440x so the 7 points span a rate range comparable to
+    # the reference's 1-20 Mbit/s @1080p ladder (README.md:25); the round-1
+    # ladder (0.0067..0.3477) only reached ~0.4 bpp at the low end.
     lambda_tradeoff: Tuple[float, ...] = (
-        0.0067, 0.0130, 0.0250, 0.0483, 0.0932, 0.1800, 0.3477
+        0.004, 0.011, 0.030, 0.083, 0.23, 0.63, 1.75
     )
     # Distortion used for training: 'mse' or 'ms_ssim'
     # (reference: src/model_mngt/loss_function.py:197-200).

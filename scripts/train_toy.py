@@ -76,15 +76,76 @@ def _natural_pool():
 _NATURAL = None
 
 
+def _texture_cartoon(rng: np.random.Generator, s2: int):
+    """Piecewise-constant Voronoi 'cartoon': flat colored cells with hard
+    edges — the low-rate-friendly content family (screen content, graphics)
+    that 1/f noise and photos never produce."""
+    k = int(rng.integers(4, 14))
+    sites = rng.uniform(0, s2, size=(k, 2)).astype(np.float32)
+    colors = rng.uniform(0, 1, size=(k, 3)).astype(np.float32)
+    yy, xx = np.mgrid[0:s2, 0:s2].astype(np.float32)
+    d = ((yy[..., None] - sites[:, 0]) ** 2
+         + (xx[..., None] - sites[:, 1]) ** 2)
+    return colors[np.argmin(d, axis=-1)]
+
+
+def _texture_grating(rng: np.random.Generator, s2: int):
+    """Oriented sinusoid grating or circular zone plate."""
+    yy, xx = np.mgrid[0:s2, 0:s2].astype(np.float32)
+    base = rng.uniform(0, 1, 3).astype(np.float32)
+    amp = rng.uniform(0.15, 0.5)
+    if rng.random() < 0.5:
+        fy, fx = rng.uniform(-0.35, 0.35, 2)
+        wave = np.sin(fy * yy + fx * xx + rng.uniform(0, 6.28))
+    else:  # zone plate: radially increasing frequency
+        cy, cx = rng.uniform(0, s2, 2)
+        r2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        wave = np.sin(r2 * rng.uniform(0.0005, 0.004))
+    tex = base[None, None] + amp * wave[..., None] * rng.uniform(0.5, 1.0, 3)
+    return np.clip(tex, 0, 1).astype(np.float32)
+
+
+def _texture_checker(rng: np.random.Generator, s2: int):
+    """Rotated checkerboard / stripes: hard periodic edges."""
+    yy, xx = np.mgrid[0:s2, 0:s2].astype(np.float32)
+    th = rng.uniform(0, 3.14)
+    u = np.cos(th) * xx + np.sin(th) * yy
+    v = -np.sin(th) * xx + np.cos(th) * yy
+    p = rng.uniform(6, 28)
+    sq = np.sign(np.sin(u * 6.28 / p))
+    if rng.random() < 0.5:
+        sq = sq * np.sign(np.sin(v * 6.28 / p))
+    c0 = rng.uniform(0, 1, 3).astype(np.float32)
+    c1 = rng.uniform(0, 1, 3).astype(np.float32)
+    return np.where(sq[..., None] > 0, c0, c1).astype(np.float32)
+
+
+def _texture_ramp(rng: np.random.Generator, s2: int):
+    """Smooth gradient ramp + a few soft Gaussian blobs (sky-like)."""
+    yy, xx = np.mgrid[0:s2, 0:s2].astype(np.float32)
+    gy, gx = rng.uniform(-1, 1, 2) / s2
+    tex = np.empty((s2, s2, 3), np.float32)
+    for c in range(3):
+        tex[..., c] = rng.uniform(0.2, 0.8) + gy * rng.uniform(-1, 1) * yy \
+            + gx * rng.uniform(-1, 1) * xx
+    for _ in range(int(rng.integers(1, 4))):
+        cy, cx = rng.uniform(0, s2, 2)
+        sig2 = rng.uniform(6, 40) ** 2
+        blob = np.exp(-((yy - cy) ** 2 + (xx - cx) ** 2) / (2 * sig2))
+        tex += rng.uniform(-0.3, 0.3, 3) * blob[..., None]
+    return np.clip(tex, 0, 1).astype(np.float32)
+
+
 def _texture(rng: np.random.Generator, size: int, margin: int):
-    """A texture for the clip generator: with probability ~0.6 a random
-    crop (random flip / channel roll) of a bundled natural photo — real
-    spatial statistics — otherwise procedural 1/f noise."""
+    """A texture for the clip generator.  Families (VERDICT r1: 'more
+    diverse procedural data'): natural-photo crops, 1/f noise, flat
+    Voronoi cartoons, gratings/zone plates, checkerboards, smooth ramps."""
     global _NATURAL
     if _NATURAL is None:
         _NATURAL = _natural_pool()
     s2 = size + 2 * margin
-    if _NATURAL and rng.random() < 0.6:
+    u = rng.random()
+    if _NATURAL and u < 0.40:
         im = _NATURAL[int(rng.integers(len(_NATURAL)))]
         H, W, _ = im.shape
         if H >= s2 and W >= s2:
@@ -101,6 +162,15 @@ def _texture(rng: np.random.Generator, size: int, margin: int):
             tex = np.clip(tex * rng.uniform(0.7, 1.2)
                           + rng.uniform(-0.08, 0.08), 0.0, 1.0)
             return np.ascontiguousarray(tex, np.float32)
+        u = rng.uniform(0.40, 1.0)  # photo too small: fall through
+    if u < 0.55:
+        return _texture_cartoon(rng, s2)
+    if u < 0.67:
+        return _texture_grating(rng, s2)
+    if u < 0.78:
+        return _texture_checker(rng, s2)
+    if u < 0.86:
+        return _texture_ramp(rng, s2)
     return _texture_1f(rng, s2)
 
 
@@ -120,44 +190,84 @@ def _sample_bilinear(tex: np.ndarray, sy: np.ndarray, sx: np.ndarray):
     return top * (1 - wy) + bot * wy
 
 
+def _new_scene(rng: np.random.Generator, size: int, margin: int):
+    """Sample one scene: background affine motion + 0-2 foreground
+    ellipses with independent translation (occlusion/disocclusion)."""
+    scene = {
+        "bg": _texture(rng, size, margin),
+        # 15% static scenes so the skip path (alpha) sees zero motion
+        "vbg": (np.zeros(2) if rng.random() < 0.15
+                else rng.uniform(-2.5, 2.5, 2)),
+        "zoom": rng.uniform(-0.004, 0.004),
+        "rot": rng.uniform(-0.004, 0.004),
+        "fgs": [],
+    }
+    for _ in range(int(rng.integers(0, 3))):
+        scene["fgs"].append({
+            "tex": _texture(rng, size, margin),
+            "c": rng.uniform(0.2, 0.8, 2) * size,
+            "r": rng.uniform(0.08, 0.3, 2) * size,
+            "v": rng.uniform(-3.5, 3.5, 2),
+        })
+    # illumination drift: slow global gain oscillation (50% of scenes)
+    if rng.random() < 0.5:
+        scene["illum"] = (rng.uniform(0.03, 0.15),
+                          rng.uniform(0.15, 0.8), rng.uniform(0, 6.28))
+    else:
+        scene["illum"] = None
+    return scene
+
+
+def _render_scene(scene, t: int, size: int, margin: int,
+                  yy: np.ndarray, xx: np.ndarray):
+    cy0 = cx0 = (size - 1) / 2.0
+    s = np.sin(scene["rot"] * t)
+    c = np.cos(scene["rot"] * t) * (1.0 + scene["zoom"] * t)
+    dy, dx = yy - cy0, xx - cx0
+    sy = cy0 + c * dy + s * dx + margin + scene["vbg"][0] * t
+    sx = cx0 - s * dy + c * dx + margin + scene["vbg"][1] * t
+    frame = _sample_bilinear(scene["bg"], sy, sx)
+    for fg in scene["fgs"]:
+        jy = yy + margin + fg["v"][0] * t
+        jx = xx + margin + fg["v"][1] * t
+        mask = ((((yy - fg["c"][0] - fg["v"][0] * t) / fg["r"][0]) ** 2
+                 + ((xx - fg["c"][1] - fg["v"][1] * t) / fg["r"][1]) ** 2)
+                < 1.0)[..., None]
+        frame = np.where(mask, _sample_bilinear(fg["tex"], jy, jx), frame)
+    if scene["illum"] is not None:
+        amp, w, phi = scene["illum"]
+        frame = frame * (1.0 + amp * np.sin(w * t + phi))
+    return frame
+
+
 def make_batch(rng: np.random.Generator, n_frames: int, batch: int, size: int):
-    """[n_frames, B, size, size, 3] float32 clips: a textured background
-    under a SUBPIXEL affine motion (translation + slight zoom/rotation)
-    plus a foreground ellipse with independent subpixel translation
-    (occlusion/disocclusion), so MOFNet's flows train at the bilinear
-    warp's actual precision and alpha/beta get masking signal.  Textures
-    mix natural-photo crops with procedural 1/f noise (_texture).
+    """[n_frames, B, size, size, 3] float32 clips: textured backgrounds
+    under SUBPIXEL affine motion (translation + slight zoom/rotation) with
+    0-2 foreground ellipses moving independently (occlusion/disocclusion),
+    so MOFNet's flows train at the bilinear warp's actual precision and
+    alpha/beta get masking signal.  Texture families span photos, noise,
+    cartoons, gratings, checkers, ramps (_texture); 15% of clips contain a
+    scene cut (alpha must fall back to intra coding), 50% have slow
+    illumination drift, and sensor noise varies per clip (30% noiseless).
     """
     margin = 24
     out = np.empty((n_frames, batch, size, size, 3), np.float32)
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32)
-    cy0, cx0 = (size - 1) / 2.0, (size - 1) / 2.0
     for b in range(batch):
-        bg = _texture(rng, size, margin)
-        fg = _texture(rng, size, margin)
-        # foreground ellipse mask
-        cy, cx = rng.uniform(0.25, 0.75, 2) * size
-        ry, rx = rng.uniform(0.12, 0.3, 2) * size
-        vbg = rng.uniform(-2.5, 2.5, 2)
-        vfg = rng.uniform(-3.5, 3.5, 2)
-        # slight per-frame zoom / rotation of the background (affine flow)
-        zoom = rng.uniform(-0.004, 0.004)
-        rot = rng.uniform(-0.004, 0.004)
+        scene = _new_scene(rng, size, margin)
+        t_cut = (int(rng.integers(1, n_frames))
+                 if n_frames > 1 and rng.random() < 0.15 else -1)
+        t0 = 0
         for t in range(n_frames):
-            s, c = np.sin(rot * t), np.cos(rot * t) * (1.0 + zoom * t)
-            dy = yy - cy0
-            dx = xx - cx0
-            sy = cy0 + c * dy + s * dx + margin + vbg[0] * t
-            sx = cx0 - s * dy + c * dx + margin + vbg[1] * t
-            frame = _sample_bilinear(bg, sy, sx)
-            jy = yy + margin + vfg[0] * t
-            jx = xx + margin + vfg[1] * t
-            mask = ((((yy - cy - vfg[0] * t) / ry) ** 2
-                     + ((xx - cx - vfg[1] * t) / rx) ** 2) < 1.0)[..., None]
-            out[t, b] = np.where(mask, _sample_bilinear(fg, jy, jx), frame)
-    # light sensor noise so rate never collapses to zero
-    out = np.clip(out + rng.normal(scale=0.004, size=out.shape), 0.0, 1.0)
-    return out.astype(np.float32)
+            if t == t_cut:
+                scene = _new_scene(rng, size, margin)
+                t0 = t
+            out[t, b] = _render_scene(scene, t - t0, size, margin, yy, xx)
+        noise = 0.0 if rng.random() < 0.3 else rng.uniform(0.001, 0.006)
+        if noise:
+            out[:, b] += rng.normal(scale=noise,
+                                    size=out[:, b].shape).astype(np.float32)
+    return np.clip(out, 0.0, 1.0).astype(np.float32)
 
 
 def main():
@@ -175,6 +285,8 @@ def main():
     ap.add_argument("--save_every", type=int, default=0,
                     help="also save a checkpoint every N steps")
     ap.add_argument("--dist", default="mse")
+    ap.add_argument("--workers", type=int, default=4,
+                    help="prefetch threads (each with its own rng slot)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
     args = ap.parse_args()
@@ -195,26 +307,31 @@ def main():
     opt_state = opt.init(params)
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist)
 
-    rng_np = np.random.default_rng(args.seed)
     rng = jax.random.PRNGKey(args.seed)
     n_rates = len(cfg.lambda_tradeoff)
 
-    # Host-side prefetch: the next batch is generated on a worker thread
-    # while the device runs the current step (single worker, so the numpy
-    # rng stays single-threaded).
+    # Host-side prefetch: batches are generated on worker threads while
+    # the device runs the current step.  Each worker slot owns its own
+    # numpy rng (seeded (seed, slot)), so generation is deterministic per
+    # (seed, workers) and thread-safe: a slot's rng is only touched by the
+    # one in-flight future submitted for that slot.
+    from collections import deque
     from concurrent.futures import ThreadPoolExecutor
 
-    ex = ThreadPoolExecutor(max_workers=1)
+    workers = max(1, args.workers)
+    ex = ThreadPoolExecutor(max_workers=workers)
+    slot_rngs = [np.random.default_rng([args.seed, w]) for w in range(workers)]
 
-    def gen():
-        return (make_batch(rng_np, len(gop), args.batch, args.size),
-                int(rng_np.integers(0, n_rates)))
+    def gen(slot):
+        r = slot_rngs[slot]
+        return (make_batch(r, len(gop), args.batch, args.size),
+                int(r.integers(0, n_rates)))
 
-    fut = ex.submit(gen)
+    futs = deque(ex.submit(gen, w) for w in range(workers))
     t0 = time.time()
     for step in range(args.steps):
-        frames_np, idx_rate = fut.result()
-        fut = ex.submit(gen)
+        frames_np, idx_rate = futs.popleft().result()
+        futs.append(ex.submit(gen, step % workers))
         frames = jnp.asarray(frames_np)
         rng, rng_s = jax.random.split(rng)
         params, opt_state, logs = step_fn(params, opt_state, frames,
