@@ -51,8 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--log_dir", default="",
                    help="write per-frame results (detailed.txt + .jsonl)")
     p.add_argument("--wave_batch", type=int, default=1,
-                   help="code temporal waves as device batches of up to N "
-                        "frames (must match between encode and decode)")
+                   help="encode temporal waves as device batches of up to "
+                        "N frames; recorded in the video header, so decode "
+                        "reads it from the bitstream")
     p.add_argument("--rate_priority", action="store_true",
                    help="favor bitstream size over speed: drop the rANS "
                         "stream-count floor so the per-frame state flush "
@@ -153,7 +154,7 @@ def main(argv=None) -> int:
         header = VideoHeader.unpack(data[:VideoHeader.SIZE])
         codec = FrameCodec(cfg, params, header.h_x, header.w_x)
         t0 = time.time()
-        decoded = decode_video(codec, data, wave_batch=args.wave_batch)
+        decoded = decode_video(codec, data)  # wave_batch from the header
         dt = time.time() - t0
         print(f"[RESULT] decoding fps         : {len(decoded) / dt:.2f}")
         manifest = Path(args.bitstream_out + ".md5.json")

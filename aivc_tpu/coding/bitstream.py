@@ -147,9 +147,14 @@ BACKEND_DEVICE = 1   # on-device vectorized rANS (coding/vrans.py)
 
 @dataclass(frozen=True)
 class VideoHeader:
-    """19-byte video header: the reference's 18-byte layout
-    (reference: header.py:30-41,74-83) plus one trailing flags byte that
-    records the entropy-coding backend of the latent chunks."""
+    """20-byte video header: the reference's 18-byte layout
+    (reference: header.py:30-41,74-83) plus one flags byte recording the
+    entropy-coding backend of the latent chunks and one byte recording
+    the encoder's wave_batch.  wave_batch is part of the determinism
+    contract (XLA may round floats differently per batch size, see
+    pipeline/video.py:wave_groups), so it must ride in the bitstream for
+    `decode_video(bytes)` to need nothing out-of-band — the reference
+    decoder's closed-loop property (src/real_life/decode.py:44-155)."""
 
     h_x: int
     w_x: int
@@ -161,19 +166,22 @@ class VideoHeader:
     idx_first_frame: int
     idx_last_frame: int
     backend: int = BACKEND_HOST
+    wave_batch: int = 1
 
-    SIZE = 19
+    SIZE = 20
 
     def pack(self) -> bytes:
+        if not (1 <= self.wave_batch <= 255):
+            raise ValueError(f"wave_batch {self.wave_batch} outside [1, 255]")
         vals = (self.h_x, self.w_x, self.h_y, self.w_y, self.h_z, self.w_z,
                 self.nb_gop, self.idx_first_frame, self.idx_last_frame)
         return b"".join(v.to_bytes(2, "big") for v in vals) + bytes(
-            [self.backend])
+            [self.backend, self.wave_batch])
 
     @classmethod
     def unpack(cls, data: bytes) -> "VideoHeader":
         vals = [int.from_bytes(data[2 * i:2 * i + 2], "big") for i in range(9)]
-        return cls(*vals, backend=data[18])
+        return cls(*vals, backend=data[18], wave_batch=max(1, data[19]))
 
     @property
     def data_dim(self) -> Dict[str, Tuple[int, int]]:

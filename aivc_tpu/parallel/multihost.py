@@ -113,5 +113,6 @@ def encode_video_multihost(codec: FrameCodec,
     if any(len(c) == 0 for c in ordered):
         raise RuntimeError("missing GOP chunk after all-gather")
 
-    header = codec.video_header(nb_gop, 0, n_frames - 1)
+    header = codec.video_header(nb_gop, 0, n_frames - 1,
+                                wave_batch=wave_batch)
     return bs.pack_video(header, ordered)

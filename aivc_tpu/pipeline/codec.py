@@ -1417,11 +1417,12 @@ class FrameCodec:
             backend=backend)[0]
 
     # ------------------------------------------------------------------
-    def video_header(self, nb_gop: int, idx_first: int, idx_last: int
-                     ) -> bs.VideoHeader:
+    def video_header(self, nb_gop: int, idx_first: int, idx_last: int,
+                     wave_batch: int = 1) -> bs.VideoHeader:
         return bs.VideoHeader(
             h_x=self.h, w_x=self.w, h_y=self.hy, w_y=self.wy,
             h_z=self.hz, w_z=self.wz, nb_gop=nb_gop,
             idx_first_frame=idx_first, idx_last_frame=idx_last,
             backend=(bs.BACKEND_DEVICE if self.backend == "device"
-                     else bs.BACKEND_HOST))
+                     else bs.BACKEND_HOST),
+            wave_batch=max(1, wave_batch))

@@ -139,8 +139,9 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
                  wave_batch: int = 1) -> EncodeResult:
     """Encode a full sequence of uint8 YUV420 frames into one bitstream.
 
-    wave_batch: decode_video must be called with the same value (wave
-    batching is part of the determinism contract, see wave_groups)."""
+    wave_batch is recorded in the video header, so the decoder derives it
+    from the bitstream alone (it is part of the determinism contract, see
+    wave_groups)."""
     name = coding.gop_struct_name()
     gop = generate_gop_struct(name)
     gop_len = len(gop)
@@ -182,7 +183,8 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
                     codec_bytes=st["codec_bytes"],
                     alpha_mean=st["alpha_mean"], beta_mean=st["beta_mean"],
                     bpp=st["bytes"] * 8.0 / n_pix))
-        header = codec.video_header(nb_gop, idx_first, idx_last)
+        header = codec.video_header(nb_gop, idx_first, idx_last,
+                                    wave_batch=wave_batch)
         video = bs.pack_video(header, gop_chunks)
         elapsed = max(time.time() - t0, 1e-9)
         return EncodeResult(
@@ -202,7 +204,8 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
         gop_chunks.append(gop_bytes)
         all_decoded.update({k: v for k, v in decoded.items() if k <= idx_last})
 
-    header = codec.video_header(nb_gop, idx_first, idx_last)
+    header = codec.video_header(nb_gop, idx_first, idx_last,
+                                wave_batch=wave_batch)
     video = bs.pack_video(header, gop_chunks)
     elapsed = max(time.time() - t0, 1e-9)
     return EncodeResult(
@@ -211,11 +214,20 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
 
 
 def decode_video(codec: FrameCodec, data: bytes,
-                 wave_batch: int = 1) -> Dict[int, DecodedFrame]:
+                 wave_batch: Optional[int] = None) -> Dict[int, DecodedFrame]:
     """Decode a muxed bitstream. Only the bitstream and the model are used
-    (the closed-loop property, reference: decode.py:44-155).
-    wave_batch must match the encoder's (see wave_groups)."""
+    (the closed-loop property, reference: decode.py:44-155): wave_batch is
+    read from the video header.  Passing wave_batch explicitly is only a
+    cross-check — a mismatch with the header raises, because decoding with
+    a different grouping would silently drift (see wave_groups)."""
     header, gop_chunks = bs.unpack_video(data)
+    if wave_batch is None:
+        wave_batch = header.wave_batch
+    elif wave_batch != header.wave_batch:
+        raise ValueError(
+            f"wave_batch {wave_batch} does not match the bitstream header's "
+            f"{header.wave_batch}; decoding with a different wave grouping "
+            "is not bit-exact (omit the argument to use the header)")
     decoded_all: Dict[int, DecodedFrame] = {}
     first_idx = header.idx_first_frame
     # The chunk format is recorded in the video header, so any codec

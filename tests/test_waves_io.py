@@ -45,6 +45,29 @@ def test_wave_batched_roundtrip_bit_exact(codec):
                 err_msg=f"wave-batched drift at frame {idx} plane {k}")
 
 
+def test_wave_batch_rides_in_the_header(codec):
+    """decode_video needs only the bitstream: the encoder's wave_batch is
+    recorded in the video header and honoured by a FRESH codec with no
+    out-of-band arguments (closed-loop property, reference:
+    src/real_life/decode.py:44-155)."""
+    frames = _synthetic_frames(9)
+    cfg = CodingConfig(coding_config="RA", gop_size=8, intra_period=8)
+    res = encode_video(codec, frames, cfg, wave_batch=8)
+
+    _, params = init_fullnet(TINY, spatial=64)
+    fresh = FrameCodec(TINY, params, H, W)
+    decoded = decode_video(fresh, res.bitstream)  # no wave_batch given
+    for idx in decoded:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                decoded[idx][k], res.decoded_frames[idx][k],
+                err_msg=f"header-wave_batch drift at frame {idx} plane {k}")
+
+    # A mismatched explicit wave_batch must refuse, not silently drift.
+    with pytest.raises(ValueError, match="wave_batch"):
+        decode_video(fresh, res.bitstream, wave_batch=2)
+
+
 def test_debug_mode_self_checks(capsys):
     _, params = init_fullnet(TINY, spatial=64)
     codec = FrameCodec(TINY, params, H, W, debug=True)
