@@ -71,6 +71,13 @@ class ConditionalNetConfig:
     # Parametric pdf family for y ('laplace' or 'normal'),
     # (reference: src/layers/entropy_coding/pdf_estimator.py:54-62).
     pdf_family: str = "laplace"
+    # Entropy-coding mode: number of mixture components for the y pdf.
+    # 'one' (default) | 'two' | 'three' [+ optional '_gamma'], matching
+    # the reference's ec_mode grammar
+    # (reference: src/layers/misc/misc_layers.py:172-269).  The deployed
+    # coding path always uses component [0] (decode.py:853-856); K > 1
+    # adds mixture capacity to the training-time rate model.
+    ec_mode: str = "one"
     # Number of trained rate points (gain-vector pairs) per gain matrix
     # (reference: src/layers/multi_rate/gain_matrix.py:32-89).
     n_rates: int = 7
@@ -88,9 +95,22 @@ class ConditionalNetConfig:
     dtype: str = "float32"
 
     @property
+    def mixture_k(self) -> int:
+        """Mixture components K from ec_mode
+        (reference: misc_layers.py:190-195)."""
+        parts = self.ec_mode.split("_")
+        return 2 if "two" in parts else 3 if "three" in parts else 1
+
+    @property
     def sigma_cond_c(self) -> int:
-        """Channels of the hyper-synthesis output: mu and log-variance."""
-        return 2 * self.nb_ft_y
+        """Channels of the hyper-synthesis output: K*C mu, K*C log-var,
+        optionally K*C log-gamma, (K-1)*C weight logits
+        (reference channel layout: misc_layers.py:200-254)."""
+        k = self.mixture_k
+        n = 2 * k + (k - 1)
+        if "gamma" in self.ec_mode.split("_"):
+            n += k
+        return n * self.nb_ft_y
 
 
 @dataclass(frozen=True)

@@ -39,7 +39,9 @@ from aivc_tpu.config import AC_MAX_VAL, FRAME_B, FRAME_I, FRAME_P, ConditionalNe
 from aivc_tpu.ops.entropy_models import (
     FactorizedPrior,
     bin_prob,
+    mixture_bin_prob,
     pdf_parameterize,
+    pdf_parameterize_mixture,
     rate_bits,
 )
 from aivc_tpu.ops.gain import GainMatrix
@@ -189,13 +191,10 @@ class ConditionalNet(nn.Module):
         else:
             z_q = jnp.clip(jnp.round(z), -AC_MAX_VAL, AC_MAX_VAL - 1)
 
-        mu, sigma = pdf_parameterize(self.h_s(z_q), self.cfg.nb_ft_y)
-        # When H, W are not multiples of the z downscale, the hyper-decoder
-        # output overshoots the y grid; crop to y's spatial dims (the
-        # reference crops the same way, decode.py:844-856).  No-op for the
-        # inference pipeline, which pads frames to the full downscale.
-        mu = mu[:, : y.shape[1], : y.shape[2], :]
-        sigma = sigma[:, : y.shape[1], : y.shape[2], :]
+        comps = self._pdf_components(z_q, y.shape[1], y.shape[2])
+        # Coding always consumes component [0]; mu is subtracted before
+        # quantization (reference: decode.py:853-867).
+        mu, sigma = comps[0]["mu"], comps[0]["sigma"]
 
         y_centered = y - mu
         if training:
@@ -204,7 +203,11 @@ class ConditionalNet(nn.Module):
             y_cq = jnp.clip(jnp.round(y_centered), -AC_MAX_VAL, AC_MAX_VAL - 1)
 
         rate_z = rate_bits(self.pdf_z(z_q))
-        rate_y = rate_bits(bin_prob(y_cq, sigma, self.cfg.pdf_family))
+        if len(comps) == 1:
+            p_y = bin_prob(y_cq, sigma, self.cfg.pdf_family)
+        else:
+            p_y = mixture_bin_prob(y_cq, comps, self.cfg.pdf_family)
+        rate_y = rate_bits(p_y)
 
         return {
             "y_cq": y_cq,
@@ -234,9 +237,27 @@ class ConditionalNet(nn.Module):
     # ------------------------------------------------------------------
     # Decoder-side pieces (also used by the encoder to close the loop)
     # ------------------------------------------------------------------
+    def _pdf_components(self, z_q: jax.Array, hy: int, wy: int):
+        """Hyper-synthesis -> K mixture components, cropped to the y grid.
+
+        When H, W are not multiples of the z downscale, the hyper-decoder
+        output overshoots the y grid; crop to y's spatial dims (the
+        reference crops the same way, decode.py:844-856).  No-op for the
+        inference pipeline, which pads frames to the full downscale."""
+        h = self.h_s(z_q)
+        if self.cfg.mixture_k == 1:
+            mu, sigma = pdf_parameterize(h, self.cfg.nb_ft_y)
+            comps = [{"mu": mu, "sigma": sigma}]
+        else:
+            comps = pdf_parameterize_mixture(h, self.cfg.nb_ft_y,
+                                             self.cfg.ec_mode)
+        return [{k: v[:, :hy, :wy, :] for k, v in c.items()} for c in comps]
+
     def hyper_decode(self, z_q: jax.Array):
-        """Decoded z -> (mu, sigma); bit-identical to the encoder's use."""
-        return pdf_parameterize(self.h_s(z_q), self.cfg.nb_ft_y)
+        """Decoded z -> (mu, sigma) of component [0]; bit-identical to the
+        encoder's use (reference: decode.py:853-856 reads pdf_param[0])."""
+        c0 = self._pdf_components(z_q, z_q.shape[1] * 4, z_q.shape[2] * 4)[0]
+        return c0["mu"], c0["sigma"]
 
     def synthesize(self, y_cq: jax.Array, mu: jax.Array,
                    shortcut_in: Optional[jax.Array], idx_rate,

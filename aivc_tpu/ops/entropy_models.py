@@ -119,15 +119,69 @@ def rate_bits(p: jax.Array) -> jax.Array:
 
 
 def pdf_parameterize(x: jax.Array, nb_ft: int):
-    """Split a hyper-synthesis output into (mu, sigma).
+    """Split a hyper-synthesis output into (mu, sigma), K = 1 fast path.
 
     x: [B, H, W, 2*nb_ft] -> mu = x[..., :nb_ft],
     sigma = exp(0.5 * clamp(logvar)) (the log-var trick,
-    reference: src/layers/misc/misc_layers.py:209-219).  Single-component
-    mixtures only: the reference's deployed decode path reads
-    pdf_param[0] exclusively (reference: src/real_life/decode.py:853-856).
+    reference: src/layers/misc/misc_layers.py:209-219).
     """
     mu = x[..., :nb_ft]
     logvar = jnp.clip(x[..., nb_ft: 2 * nb_ft], LOG_VAR_MIN, LOG_VAR_MAX)
     sigma = jnp.exp(0.5 * logvar)
     return mu, sigma
+
+
+def pdf_parameterize_mixture(x: jax.Array, nb_ft: int, ec_mode: str = "one"):
+    """Split a hyper-synthesis output into K mixture components.
+
+    Mirrors the reference PdfParamParameterizer channel layout exactly
+    (reference: src/layers/misc/misc_layers.py:172-269): x carries
+    [K*C mu | K*C log-var | (K*C log-gamma if 'gamma') | (K-1)*C weight
+    logits]; component weights are softmax over K with component 0's
+    logit hard-wired to 1 (misc_layers.py:241-254); gamma defaults to
+    ones (flagged '! Never used' in the reference).
+
+    Returns a list of K dicts {mu, sigma, gamma, weight}, each value
+    [B, H, W, nb_ft] — component [0] is what the deployed coding path
+    consumes (reference: src/real_life/decode.py:853-856).
+    """
+    parts = ec_mode.split("_")
+    K = 2 if "two" in parts else 3 if "three" in parts else 1
+    C = nb_ft
+    pos = 0
+
+    def take(n):
+        nonlocal pos
+        out = [x[..., pos + k * C: pos + (k + 1) * C] for k in range(n)]
+        pos += n * C
+        return out
+
+    mus = take(K)
+    sigmas = [jnp.exp(0.5 * jnp.clip(lv, LOG_VAR_MIN, LOG_VAR_MAX))
+              for lv in take(K)]
+    if "gamma" in parts:
+        gammas = [jnp.exp(0.5 * jnp.clip(lg, LOG_VAR_MIN, LOG_VAR_MAX))
+                  for lg in take(K)]
+    else:
+        gammas = [jnp.ones_like(mus[0])] * K
+    logits = [jnp.ones_like(mus[0])] + take(K - 1)
+    w = jax.nn.softmax(jnp.stack(logits, axis=0), axis=0)
+    return [{"mu": mus[k], "sigma": sigmas[k], "gamma": gammas[k],
+             "weight": w[k]} for k in range(K)]
+
+
+def mixture_bin_prob(y: jax.Array, components, pdf_family: str,
+                     zero_mu: bool = True) -> jax.Array:
+    """Mixture bin probability: the sum over components of
+    cdf(y+.5) - cdf(y-.5), exactly as the reference ParametricPdf.forward
+    composes it (reference: src/layers/entropy_coding/pdf_estimator.py:
+    40-70 — the component weights are deliberately NOT applied there; the
+    overcount is tamed by the rate proxy's clamp to [2^-16, 1]).
+
+    zero_mu: mu already subtracted before quantization (the deployed
+    path, pdf_estimator.py:45-46)."""
+    p = jnp.zeros_like(y)
+    for comp in components:
+        yc = y if zero_mu else y - comp["mu"]
+        p = p + bin_prob(yc, comp["sigma"], pdf_family)
+    return p

@@ -123,3 +123,53 @@ def test_checkpoint_roundtrip(tmp_path, model_and_params):
     for a, b in zip(jax.tree_util.tree_leaves(params),
                     jax.tree_util.tree_leaves(params2)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_mixture_ec_mode_roundtrip_bit_exact():
+    """A K=2 mixture config (ec_mode 'two') codes end-to-end: the
+    hyper-synthesis carries (3K-1)*C channels, coding consumes component
+    [0] (reference: decode.py:853-856), and the closed loop stays
+    bit-exact."""
+    from dataclasses import replace
+
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video
+    from tests.test_e2e import H, W, _synthetic_frames
+
+    cfg = replace(
+        TINY, name="tiny-mix2",
+        mofnet=replace(TINY.mofnet, ec_mode="two"),
+        codecnet=replace(TINY.codecnet, ec_mode="two"))
+    assert cfg.codecnet.sigma_cond_c == 5 * cfg.codecnet.nb_ft_y
+    _, params = init_fullnet(cfg, spatial=64)
+    codec = FrameCodec(cfg, params, H, W)
+    frames = _synthetic_frames(3)
+    res = encode_video(codec, frames, CodingConfig(
+        coding_config="RA", gop_size=2, intra_period=2))
+    decoded = decode_video(codec, res.bitstream)
+    for idx in decoded:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(decoded[idx][k],
+                                          res.decoded_frames[idx][k])
+
+
+def test_mixture_train_step_finite():
+    """RD training runs with the mixture rate model in the loss."""
+    from dataclasses import replace
+
+    cfg = replace(
+        TINY, name="tiny-mix2",
+        mofnet=replace(TINY.mofnet, ec_mode="two"),
+        codecnet=replace(TINY.codecnet, ec_mode="three"))
+    model, params = init_fullnet(cfg, spatial=32)
+    gop = generate_gop_struct("1_GOP_2")
+    opt = make_optimizer(1e-4)
+    step = make_train_step(model, cfg, gop, opt)
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 1, (3, 1, 32, 32, 3)),
+        jnp.float32)
+    params, _, logs = step(params, opt.init(params), frames, 0,
+                           jax.random.PRNGKey(0))
+    assert np.isfinite(float(logs["loss"]))
+    assert float(logs["rate_bpp"]) > 0

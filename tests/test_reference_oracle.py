@@ -269,6 +269,51 @@ def test_laplace_bin_prob_matches_reference(ref):
     np.testing.assert_allclose(ours, ref_p, atol=1e-6)
 
 
+@pytest.mark.parametrize("ec_mode", ["two", "three"])
+def test_mixture_parameterizer_matches_reference(ref, ec_mode):
+    """K-component PdfParamParameterizer + the mixture probability
+    composition match the reference end to end
+    (reference: src/layers/misc/misc_layers.py:172-269,
+    src/layers/entropy_coding/pdf_estimator.py:40-70)."""
+    torch = ref
+    from layers.entropy_coding.pdf_estimator import ParametricPdf
+    from layers.misc.misc_layers import PdfParamParameterizer
+
+    import jax.numpy as jnp
+
+    from aivc_tpu.ops.entropy_models import (
+        mixture_bin_prob,
+        pdf_parameterize_mixture,
+    )
+
+    K = {"two": 2, "three": 3}[ec_mode]
+    C, H, W = 4, 5, 6
+    n_ch = (3 * K - 1) * C
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 2.0, (1, n_ch, H, W)).astype(np.float32)
+
+    ref_params = PdfParamParameterizer(ec_mode, C)(torch.from_numpy(x))
+    # NHWC view of the same hyper-synthesis output
+    ours = pdf_parameterize_mixture(
+        jnp.asarray(np.moveaxis(x, 1, -1)), C, ec_mode)
+
+    assert len(ref_params) == len(ours) == K
+    for rp, op in zip(ref_params, ours):
+        for key in ("mu", "sigma", "weight"):
+            np.testing.assert_allclose(
+                np.moveaxis(np.asarray(op[key]), -1, 1)[:, :, :, :],
+                rp[key].numpy(), atol=1e-6, err_msg=key)
+
+    # Mixture probability: unweighted sum over components, zero-mu
+    y = rng.integers(-10, 11, (1, C, H, W)).astype(np.float32)
+    ref_p = ParametricPdf("laplace")(
+        torch.from_numpy(y), ref_params, zero_mu=True).numpy()
+    ours_p = mixture_bin_prob(
+        jnp.asarray(np.moveaxis(y, 1, -1)), ours, "laplace")
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(ours_p), -1, 1), ref_p, atol=1e-6)
+
+
 # ---------------------------------------------------------------------------
 # Gain-vector interpolation
 # ---------------------------------------------------------------------------
