@@ -54,6 +54,14 @@ def build_parser() -> argparse.ArgumentParser:
                    help="encode temporal waves as device batches of up to "
                         "N frames; recorded in the video header, so decode "
                         "reads it from the bitstream")
+    p.add_argument("--stream_dir", default="",
+                   help="crash-salvageable encode: write each finished GOP "
+                        "chunk here atomically; rerunning with the same "
+                        "directory resumes, re-encoding only missing GOPs")
+    p.add_argument("--rate_audit", action="store_true",
+                   help="report sequence-level analytic-vs-real rate "
+                        "overhead (estimated bits under the coder's own "
+                        "CDFs vs bytes written)")
     p.add_argument("--rate_priority", action="store_true",
                    help="favor bitstream size over speed: drop the rANS "
                         "stream-count floor so the per-frame state flush "
@@ -124,9 +132,11 @@ def main(argv=None) -> int:
     if args.mode in ("all", "encode"):
         codec = FrameCodec(cfg, params, h, w, debug=args.bitstream_debug,
                            entropy_backend=args.entropy_backend,
-                           rate_priority=args.rate_priority)
+                           rate_priority=args.rate_priority,
+                           audit=args.rate_audit)
         t0 = time.time()
-        res = encode_video(codec, frames, coding, wave_batch=args.wave_batch)
+        res = encode_video(codec, frames, coding, wave_batch=args.wave_batch,
+                           stream_dir=args.stream_dir or None)
         dt = time.time() - t0
         Path(args.bitstream_out).write_bytes(res.bitstream)
         if args.log_dir:
@@ -141,6 +151,13 @@ def main(argv=None) -> int:
 
             write_md5_manifest(res.decoded_frames,
                                args.bitstream_out + ".md5.json")
+        if args.rate_audit:
+            analytic = sum(fr.analytic_bits for fr in res.frame_results)
+            real = sum(fr.bytes for fr in res.frame_results) * 8.0
+            over = 100.0 * (real - analytic) / max(analytic, 1e-9)
+            print(f"[RESULT] analytic rate bits   : {analytic:.0f}")
+            print(f"[RESULT] real rate bits       : {real:.0f}")
+            print(f"[RESULT] container overhead   : {over:.2f} %")
         n_pix = h * w
         print(f"[RESULT] bitstream bytes      : {res.total_bytes}")
         print(f"[RESULT] rate bpp             : "

@@ -69,7 +69,13 @@ PROB_BITS = 16            # CDF quantization: min symbol cost 2^-16
 PROB_SCALE = 1 << PROB_BITS
 RANS_L = 1 << 16          # state lower bound; emit/read 16-bit words
 K_MIN = 8
-K_MAX = 1024
+# 2048 = the 16-sublane Pallas width: halves the sequential rANS step
+# count at 1080p.  The CDF lookup is tiled to 8-sublane blocks
+# (_cdf_dec_lookup8), so the 16-sublane kernels fit scoped VMEM with
+# real tables, and the per-width runtime probe still gates the route;
+# the XLA fallback handles any K.  K rides in the chunk header, so the
+# policy cap can move without breaking old bitstreams.
+K_MAX = 2048
 
 _U32 = jnp.uint32
 # NOTE: these must stay plain Python ints.  A module-level jnp scalar is a
@@ -591,6 +597,7 @@ def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
     """
     if method == "auto":
         if (jax.default_backend() == "tpu" and _pallas_ok(n, k)
+                and tables.cdf512_f32.shape[0] <= PROBE_ROWS
                 and pallas_runtime_ok("dec", k // 128)):
             method = "pallas"
         else:
@@ -949,6 +956,13 @@ def _enc_pallas_ok(n: int, k: int) -> bool:
 # kernel regression must never take down encoding itself.
 _PALLAS_PROBE: dict = {}
 
+# Probe-table height.  The probe result is cached per (kind, sub) for the
+# whole process, so auto mode must only trust it for production tables no
+# taller than what was actually probed: VMEM compile OOMs scale with the
+# CDF row count (ADVICE r1).  Tables taller than this route through XLA in
+# auto mode (explicit AIVC_VRANS_ENC=pallas still forces the kernel).
+PROBE_ROWS = 192
+
 
 def pallas_runtime_ok(kind: str, sub: int = _SUB) -> bool:
     got = _PALLAS_PROBE.get((kind, sub))
@@ -960,7 +974,7 @@ def pallas_runtime_ok(kind: str, sub: int = _SUB) -> bool:
             # scale with the row count, so a 1-row probe would pass while
             # production tables fail (exactly the 16-sublane hardware OOM
             # mode this probe exists to catch).
-            n_rows = 192
+            n_rows = PROBE_ROWS
             cdf = np.tile(np.arange(513, dtype=np.uint32) * (
                 PROB_SCALE // 512), (n_rows, 1))
             cdf512 = jnp.asarray(cdf[:, 1:].astype(np.float32))

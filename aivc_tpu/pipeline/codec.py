@@ -138,8 +138,14 @@ class FrameCodec:
     def __init__(self, cfg: ModelConfig, params, height: int, width: int,
                  debug: bool = False, mesh=None,
                  entropy_backend: str = "device",
-                 rate_priority: bool = False):
+                 rate_priority: bool = False,
+                 audit: bool = False):
         self.cfg = cfg
+        # Rate audit: attach per-frame analytic bits (under the coder's
+        # own quantized CDFs) to the encode stats, so sequence-level
+        # estimated-vs-real overhead is reportable outside debug mode
+        # (reference: src/real_life/encode.py:153-170).
+        self.audit = audit
         # Rate-priority mode (RD sweeps): drop the scan-depth floor on the
         # stream count so the per-frame K-state flush shrinks to ~1% of
         # the payload even at the lowest ladder rates.  Encoder-private
@@ -274,7 +280,12 @@ class FrameCodec:
         Rate-priority mode relaxes the floor to 65536 steps and sizes K
         for ~1% flush overhead instead of ~5% (docs/STATUS.md: at the
         lowest ladder rates the 4 KB flush of K = 1024 can exceed the
-        1080p payload itself).  AIVC_VRANS_K overrides (tests / tuning)."""
+        1080p payload itself).  AIVC_VRANS_K overrides (tests / tuning).
+
+        Flush overhead math (ADVICE r1): K doubles while
+        K * 2 * bytes_per_stream <= payload, and the flush costs 4 bytes
+        per stream, so the ceiling is 4K / (2K * bps) = 2 / bps —
+        bps = 200 -> ~1%, bps = 40 -> ~5%."""
         import os
 
         env_k = os.environ.get("AIVC_VRANS_K")
@@ -283,7 +294,7 @@ class FrameCodec:
         if n_total is None:
             n_total, _ = self._fused_n(frame_type, 8)
         max_steps = 65536 if self.rate_priority else 2048
-        bytes_per_stream = 800 if self.rate_priority else 80
+        bytes_per_stream = 200 if self.rate_priority else 40
         k_lo = 8
         while n_total // k_lo > max_steps:
             k_lo *= 2
@@ -706,6 +717,52 @@ class FrameCodec:
         self._motion_comp = motion_comp
         self._cod_synth = cod_synth
 
+        # ---- analytic-rate audit (reference: src/real_life/encode.py:
+        # 153-170 reports sequence-level estimated-vs-real rate overhead).
+        # Bits under the SAME quantized integer CDFs the coder uses, so
+        # the audit isolates pure container overhead (padding, state
+        # flush, headers, chunk framing) from model misestimation.
+        OFF_A = self._row_off
+        cdf14 = jnp.asarray(self._fused14.astype(np.int32))
+
+        def _abits(sym, rows):
+            lo = cdf14[rows, sym]
+            hi = cdf14[rows, sym + 1]
+            p = (hi - lo).astype(jnp.float32) / float(vrans.PROB_SCALE)
+            return -jnp.log2(jnp.maximum(p, 2.0 ** -16))
+
+        def _z_abits(zq, fam):
+            B, H, W, C = zq.shape
+            sym = (zq.astype(jnp.int32) + AC_MAX_VAL).reshape(B, -1)
+            rows = jnp.broadcast_to(
+                jnp.arange(C, dtype=jnp.int32) + OFF_A[fam],
+                (H, W, C)).reshape(1, -1)
+            rows = jnp.broadcast_to(rows, sym.shape)
+            return _abits(sym, rows).sum(axis=1)
+
+        def _y_abits(y, bins):
+            B, H, W, C = y.shape
+            # Zero feature maps are elided by both backends; they cost
+            # nothing in the real stream, so exclude them here too.
+            mask = (jnp.abs(y).sum(axis=(1, 2)) != 0).astype(jnp.float32)
+            sym = (y.astype(jnp.int32) + AC_MAX_VAL).reshape(B, -1)
+            rows = bins.astype(jnp.int32).reshape(B, -1) + OFF_A["y"]
+            w = jnp.broadcast_to(mask[:, None, None, :],
+                                 (B, H, W, C)).reshape(B, -1)
+            return (_abits(sym, rows) * w).sum(axis=1)
+
+        @jax.jit
+        def audit_i(z_qc, y_cqc, bins_c):
+            return _z_abits(z_qc, "z_c") + _y_abits(y_cqc, bins_c)
+
+        @jax.jit
+        def audit_pb(z_qm, y_cqm, bins_m, z_qc, y_cqc, bins_c):
+            return (_z_abits(z_qm, "z_m") + _y_abits(y_cqm, bins_m)
+                    + _z_abits(z_qc, "z_c") + _y_abits(y_cqc, bins_c))
+
+        self._audit_i = audit_i
+        self._audit_pb = audit_pb
+
     # ------------------------------------------------------------------
     # Host <-> device frame conversion
     # ------------------------------------------------------------------
@@ -721,6 +778,23 @@ class FrameCodec:
         if self.mesh is not None:
             ref = jax.device_put(ref, self._frame_sharding)
         return ref
+
+    def _shard_batch(self, x: jax.Array) -> jax.Array:
+        """Lay a [B, Hp, Wp, C] wave batch over the mesh: batch over
+        'data' (when B divides it) AND rows over 'spatial' — the combined
+        data x spatial placement of SURVEY.md §2.5.  Falls back to
+        rows-only for indivisible batches.  GSPMD keeps per-element
+        results identical to the unsharded program (asserted bit-exact by
+        tests/test_parallel.py)."""
+        if self.mesh is None:
+            return x
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        nd = self.mesh.shape.get("data", 1)
+        if nd > 1 and x.shape[0] % nd == 0:
+            return jax.device_put(
+                x, NamedSharding(self.mesh, P("data", "spatial", None, None)))
+        return jax.device_put(x, self._frame_sharding)
 
     def _zero_ref(self) -> jax.Array:
         if not hasattr(self, "_zero_ref_cache"):
@@ -819,6 +893,10 @@ class FrameCodec:
             if k > 1 else self.ref_to_444(frames_u8[0])
         prev = self._stack_refs(prev_refs)
         nxt = self._stack_refs(next_refs)
+        if self.mesh is not None:
+            frame = self._shard_batch(frame)
+            prev = self._shard_batch(prev)
+            nxt = self._shard_batch(nxt)
         rate = jnp.float32(idx_rate)
 
         if frame_type == FRAME_I:
@@ -848,6 +926,12 @@ class FrameCodec:
             "z_qc": z_qc, "y_cqc": y_cqc, "bins_c": bins_c,
             "decoded": decoded,
         }
+        if self.audit:
+            handles["abits"] = (
+                self._audit_i(z_qc, y_cqc[0], bins_c)
+                if frame_type == FRAME_I else
+                self._audit_pb(z_qm, y_cqm[0], bins_m,
+                               z_qc, y_cqc[0], bins_c))
         if self.backend == "device" and self.elide:
             # v2 path: queue only the per-channel nonzero masks here; the
             # fused encode launches in encode_frames_finish once the
@@ -988,6 +1072,7 @@ class FrameCodec:
         if mode == "pallas":
             return True
         return (jax.default_backend() == "tpu"
+                and self._fused14.shape[0] <= vrans.PROBE_ROWS
                 and vrans.pallas_runtime_ok("enc", k // 128))
 
     def _fused_rows_np(self, handles, i: int):
@@ -1172,6 +1257,7 @@ class FrameCodec:
             self._update_k_hint(
                 frame_type,
                 int(np.mean([len(fbx) for fbx in frame_bytes])))
+            self._attach_audit(handles, stats)
             return frame_bytes, handles["decoded"], stats
 
         jobs = []  # (frame_idx, chunk_name, fn) — rANS runs in threads:
@@ -1226,7 +1312,15 @@ class FrameCodec:
             stats[i]["mode_bytes"] = len(c.get("mofnet_z", b"")) + len(
                 c.get("mofnet_y", b""))
             stats[i]["codec_bytes"] = len(c["codecnet_z"]) + len(c["codecnet_y"])
+        self._attach_audit(handles, stats)
         return frame_bytes, handles["decoded"], stats
+
+    @staticmethod
+    def _attach_audit(handles, stats):
+        if "abits" in handles:
+            ab = np.asarray(handles["abits"])
+            for i, s in enumerate(stats):
+                s["analytic_bits"] = float(ab[i])
 
     def encode_frames_batch(self, frames_u8, prev_refs, next_refs,
                             frame_type: int, idx_rate: float):
@@ -1362,6 +1456,9 @@ class FrameCodec:
         p = self.params
         prev = self._stack_refs(prev_refs)
         nxt = self._stack_refs(next_refs)
+        if self.mesh is not None:
+            prev = self._shard_batch(prev)
+            nxt = self._shard_batch(nxt)
         rate = jnp.float32(idx_rate)
         chunks = [bs.unpack_frame(fb) for fb in frame_bytes_list]
 

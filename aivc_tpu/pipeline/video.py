@@ -34,6 +34,10 @@ class FrameResult:
     alpha_mean: float
     beta_mean: float
     bpp: float
+    # Analytic bits under the coder's own quantized CDFs (0.0 unless the
+    # codec runs with audit=True); real-vs-analytic overhead mirrors the
+    # reference's sequence report (src/real_life/encode.py:153-170).
+    analytic_bits: float = 0.0
 
 
 @dataclass
@@ -111,7 +115,8 @@ def encode_gop(codec: FrameCodec, gop: GopStruct,
                 idx=first_idx + spec.idx, frame_type=spec.frame_type,
                 bytes=st["bytes"], mode_bytes=st["mode_bytes"],
                 codec_bytes=st["codec_bytes"], alpha_mean=st["alpha_mean"],
-                beta_mean=st["beta_mean"], bpp=st["bytes"] * 8.0 / n_pix))
+                beta_mean=st["beta_mean"], bpp=st["bytes"] * 8.0 / n_pix,
+                analytic_bits=st.get("analytic_bits", 0.0)))
 
     for ftype, specs in wave_groups(gop, max(1, wave_batch)):
         handles = codec.encode_frames_launch(
@@ -134,9 +139,87 @@ def encode_gop(codec: FrameCodec, gop: GopStruct,
         first_idx + k: v for k, v in decoded.items()}
 
 
+class GopStreamStore:
+    """Crash-salvageable per-GOP encode state (SURVEY.md §5: the
+    reference leaves per-frame files behind only by accident,
+    src/real_life/bitstream.py:298-304; here resumability is designed).
+
+    Each finished GOP is written atomically to <dir>/gop_NNNNN.bin with
+    its per-frame stats beside it; a manifest pins every setting the
+    bytes depend on, so a resume with mismatched settings refuses instead
+    of silently mixing incompatible chunks."""
+
+    def __init__(self, directory: str, meta: Dict):
+        import json
+        from pathlib import Path
+
+        self.dir = Path(directory)
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self._json = json
+        mf = self.dir / "manifest.json"
+        if mf.exists():
+            old = json.loads(mf.read_text())
+            if old != meta:
+                diff = {k: (old.get(k), meta.get(k))
+                        for k in set(old) | set(meta)
+                        if old.get(k) != meta.get(k)}
+                raise ValueError(
+                    f"stream_dir {directory} belongs to a different encode "
+                    f"(mismatched: {diff}); use a fresh directory")
+        else:
+            tmp = mf.with_suffix(".tmp")
+            tmp.write_text(json.dumps(meta, indent=2))
+            tmp.rename(mf)
+
+    def _chunk(self, g: int):
+        return self.dir / f"gop_{g:05d}.bin"
+
+    def has(self, g: int) -> bool:
+        return self._chunk(g).exists()
+
+    def load(self, g: int) -> bytes:
+        return self._chunk(g).read_bytes()
+
+    def save(self, g: int, data: bytes, frame_results: List[FrameResult]):
+        import dataclasses
+
+        tmp = self._chunk(g).with_suffix(".tmp")
+        tmp.write_bytes(data)
+        tmp.rename(self._chunk(g))
+        rows = [dataclasses.asdict(r) for r in frame_results]
+        rf = self.dir / f"gop_{g:05d}.json"
+        tmp = rf.with_suffix(".tmp")
+        tmp.write_text(self._json.dumps(rows))
+        tmp.rename(rf)
+
+    def load_results(self, g: int) -> List[FrameResult]:
+        rows = self._json.loads((self.dir / f"gop_{g:05d}.json").read_text())
+        return [FrameResult(**r) for r in rows]
+
+
+def _decode_gop_chunk(codec: FrameCodec, gop_bytes: bytes, wave_batch: int,
+                      backend: str) -> Dict[int, DecodedFrame]:
+    """Decode one packed GOP chunk (indices local to the GOP)."""
+    gop_header, frame_chunks = bs.unpack_gop(gop_bytes)
+    gop = generate_gop_struct(gop_header.gop_struct_name)
+    by_order = {spec.coding_order: fb
+                for spec, fb in zip(gop.coding_order, frame_chunks)}
+    decoded: Dict[int, DecodedFrame] = {}
+    for ftype, specs in wave_groups(gop, max(1, wave_batch)):
+        decs = codec.decode_frames_batch(
+            [by_order[s.coding_order] for s in specs],
+            [_ref(decoded, s.prev_ref) for s in specs],
+            [_ref(decoded, s.next_ref) for s in specs],
+            ftype, gop_header.idx_rate, backend=backend)
+        for spec, dec in zip(specs, decs):
+            decoded[spec.idx] = dec
+    return decoded
+
+
 def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
                  coding: CodingConfig, verbose: bool = False,
-                 wave_batch: int = 1) -> EncodeResult:
+                 wave_batch: int = 1,
+                 stream_dir: Optional[str] = None) -> EncodeResult:
     """Encode a full sequence of uint8 YUV420 frames into one bitstream.
 
     wave_batch is recorded in the video header, so the decoder derives it
@@ -161,6 +244,15 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
     gop_chunks: List[bytes] = []
     all_decoded: Dict[int, DecodedFrame] = {}
 
+    store = None
+    if stream_dir is not None:
+        store = GopStreamStore(stream_dir, {
+            "n_frames": n_frames, "gop": name, "h": codec.h, "w": codec.w,
+            "idx_rate": coding.idx_rate, "wave_batch": wave_batch,
+            "backend": codec.backend, "model": codec.cfg.name,
+            "elide": getattr(codec, "elide", False),
+        })
+
     if gop_len == 1 and wave_batch > 1:
         # All-Intra fast path: frames are fully independent
         # (SURVEY.md §2.5 "AI mode is embarrassingly parallel per frame"),
@@ -182,7 +274,8 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
                     mode_bytes=st["mode_bytes"],
                     codec_bytes=st["codec_bytes"],
                     alpha_mean=st["alpha_mean"], beta_mean=st["beta_mean"],
-                    bpp=st["bytes"] * 8.0 / n_pix))
+                    bpp=st["bytes"] * 8.0 / n_pix,
+                    analytic_bits=st.get("analytic_bits", 0.0)))
         header = codec.video_header(nb_gop, idx_first, idx_last,
                                     wave_batch=wave_batch)
         video = bs.pack_video(header, gop_chunks)
@@ -193,14 +286,27 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
 
     for g in range(nb_gop):
         start = g * gop_len
-        gop_frames = []
-        for i in range(gop_len):
-            # Pad the tail by repeating the last frame
-            # (reference: img_processing.py:155-174)
-            gop_frames.append(frames[min(start + i, n_frames - 1)])
-        gop_bytes, decoded = encode_gop(
-            codec, gop, gop_frames, coding.idx_rate, start, results,
-            wave_batch=wave_batch)
+        if store is not None and store.has(g):
+            # Resume: the chunk is already on disk; reload its bytes and
+            # stats, and rebuild the decoded frames through the normal
+            # decode path (bit-exact with what the encoder produced).
+            gop_bytes = store.load(g)
+            gop_results = store.load_results(g)
+            results.extend(gop_results)
+            decoded = {start + k: v for k, v in _decode_gop_chunk(
+                codec, gop_bytes, wave_batch, codec.backend).items()}
+        else:
+            gop_frames = []
+            for i in range(gop_len):
+                # Pad the tail by repeating the last frame
+                # (reference: img_processing.py:155-174)
+                gop_frames.append(frames[min(start + i, n_frames - 1)])
+            n_before = len(results)
+            gop_bytes, decoded = encode_gop(
+                codec, gop, gop_frames, coding.idx_rate, start, results,
+                wave_batch=wave_batch)
+            if store is not None:
+                store.save(g, gop_bytes, results[n_before:])
         gop_chunks.append(gop_bytes)
         all_decoded.update({k: v for k, v in decoded.items() if k <= idx_last})
 
@@ -254,21 +360,9 @@ def decode_video(codec: FrameCodec, data: bytes,
                     if k <= header.idx_last_frame}
 
     for gop_bytes in gop_chunks:
-        gop_header, frame_chunks = bs.unpack_gop(gop_bytes)
-        gop = generate_gop_struct(gop_header.gop_struct_name)
-        by_order = {spec.coding_order: fb
-                    for spec, fb in zip(gop.coding_order, frame_chunks)}
-        decoded: Dict[int, "DecodedFrame"] = {}
-        for ftype, specs in wave_groups(gop, max(1, wave_batch)):
-            decs = codec.decode_frames_batch(
-                [by_order[s.coding_order] for s in specs],
-                [_ref(decoded, s.prev_ref) for s in specs],
-                [_ref(decoded, s.next_ref) for s in specs],
-                ftype, gop_header.idx_rate, backend=backend)
-            for spec, dec in zip(specs, decs):
-                decoded[spec.idx] = dec
+        decoded = _decode_gop_chunk(codec, gop_bytes, wave_batch, backend)
         decoded_all.update({first_idx + k: v for k, v in decoded.items()})
-        first_idx += len(gop)
+        first_idx += len(decoded)
 
     # Remove padded frames beyond the signalled last index
     # (reference: decode.py:157-190)

@@ -3,6 +3,14 @@
 Covers the BASELINE.md benchmark config "RA GOP32 across all 7 rate
 targets (RD sweep)".  With --input absent, a synthetic clip is used.
 
+Rate points are independent (SURVEY.md §2.5 item 4): --procs N fans them
+out over worker processes, each encoding its subset with the standard
+single-rate path, so every bitstream stays standalone-decodable (batching
+rates into one device batch would let the v2 elided format's wave-shared
+gather bucket couple the rates' bytes — see pipeline/codec.py:_launch_vr2
+— so fan-out happens at process/device granularity, the same axis a
+multi-chip mesh would use).
+
 Output: one JSON line per rate point {idx_rate, bpp, psnr, ms_ssim, fps}.
 """
 
@@ -39,11 +47,58 @@ def main():
     ap.add_argument("--compare", default="",
                     help="JSONL of a previous sweep; report BD-rate and "
                          "BD-PSNR of THIS sweep against it")
+    ap.add_argument("--procs", type=int, default=0,
+                    help="fan rate points out over N worker processes "
+                         "(0 = sequential in-process); workers run on CPU "
+                         "— a single TPU chip cannot be shared, and on a "
+                         "pod each worker would pin its own chips")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+
+    if args.procs > 1:
+        import subprocess
+        import time as _time
+
+        if args.rates:
+            all_rates = [float(r) for r in args.rates.split(",")]
+        elif args.ckpt:
+            cfg_json = json.loads(
+                (Path(args.ckpt) / "config.json").read_text())
+            all_rates = [float(i)
+                         for i in range(len(cfg_json["lambda_tradeoff"]))]
+        else:
+            all_rates = [float(i) for i in range(3 if args.model == "tiny"
+                                                 else 7)]
+        subsets = [all_rates[i::args.procs] for i in range(args.procs)]
+        base = [sys.executable, str(Path(__file__).resolve()), "--cpu",
+                "--procs", "0"]
+        for flag in ("input", "model", "ckpt", "coding_config"):
+            base += [f"--{flag}", str(getattr(args, flag))]
+        for flag in ("frames", "gop_size", "intra_period", "h", "w",
+                     "wave_batch"):
+            base += [f"--{flag}", str(getattr(args, flag))]
+        t0 = _time.time()
+        procs = [subprocess.Popen(
+                    base + ["--rates", ",".join(str(r) for r in sub)],
+                    stdout=subprocess.PIPE, text=True)
+                 for sub in subsets if sub]
+        points = []
+        for pr in procs:
+            out, _ = pr.communicate()
+            if pr.returncode != 0:
+                raise RuntimeError(f"sweep worker failed (rc {pr.returncode})")
+            points += [json.loads(ln) for ln in out.splitlines()
+                       if ln.startswith("{") and "idx_rate" in ln]
+        points.sort(key=lambda r: r["idx_rate"])
+        for row in points:
+            print(json.dumps(row), flush=True)
+        print(json.dumps({"sweep_wall_s": round(_time.time() - t0, 2),
+                          "procs": args.procs}), flush=True)
+        _maybe_compare(args, points)
+        return
 
     from aivc_tpu.config import CodingConfig, ModelConfig
     from aivc_tpu.models.zoo import TINY, init_fullnet
@@ -76,8 +131,11 @@ def main():
     rates = ([float(r) for r in args.rates.split(",")] if args.rates
              else [float(i) for i in range(n_rates)])
 
+    import time as _time
+
     n_pix = h * w
     points = []
+    t0 = _time.time()
     for idx_rate in rates:
         coding = CodingConfig(
             coding_config=args.coding_config, gop_size=args.gop_size,
@@ -97,19 +155,26 @@ def main():
         points.append(row)
         print(json.dumps(row), flush=True)
 
-    if args.compare:
-        from aivc_tpu.ops.bd_metrics import bd_psnr, bd_rate
+    print(json.dumps({"sweep_wall_s": round(_time.time() - t0, 2),
+                      "procs": 1}), flush=True)
+    _maybe_compare(args, points)
 
-        ref = [json.loads(line) for line in open(args.compare)
-               if line.strip().startswith("{")]
-        ref_rd = [(r["bpp"], r["psnr"]) for r in ref]
-        test_rd = [(r["bpp"], r["psnr"]) for r in points]
-        out = {"bd_rate_pct_vs_ref": round(bd_rate(ref_rd, test_rd), 3),
-               "bd_psnr_db_vs_ref": round(bd_psnr(ref_rd, test_rd), 4)}
-        ref_ms = [(r["bpp"], r["ms_ssim_db"]) for r in ref]
-        test_ms = [(r["bpp"], r["ms_ssim_db"]) for r in points]
-        out["bd_msssim_db_vs_ref"] = round(bd_psnr(ref_ms, test_ms), 4)
-        print(json.dumps(out), flush=True)
+
+def _maybe_compare(args, points):
+    if not args.compare:
+        return
+    from aivc_tpu.ops.bd_metrics import bd_psnr, bd_rate
+
+    ref = [json.loads(line) for line in open(args.compare)
+           if line.strip().startswith("{") and "idx_rate" in line]
+    ref_rd = [(r["bpp"], r["psnr"]) for r in ref]
+    test_rd = [(r["bpp"], r["psnr"]) for r in points]
+    out = {"bd_rate_pct_vs_ref": round(bd_rate(ref_rd, test_rd), 3),
+           "bd_psnr_db_vs_ref": round(bd_psnr(ref_rd, test_rd), 4)}
+    ref_ms = [(r["bpp"], r["ms_ssim_db"]) for r in ref]
+    test_ms = [(r["bpp"], r["ms_ssim_db"]) for r in points]
+    out["bd_msssim_db_vs_ref"] = round(bd_psnr(ref_ms, test_ms), 4)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":

@@ -78,3 +78,35 @@ def test_sharded_codec_matches_unsharded_bit_exact():
             np.testing.assert_array_equal(
                 dec1[idx][k], res0.decoded_frames[idx][k],
                 err_msg=f"sharded decode drift frame {idx} {k}")
+
+
+def test_combined_data_spatial_mesh_bit_exact():
+    """Wave batches laid over a combined ('data' x 'spatial') mesh —
+    batch over data, rows over spatial — stay bit-exact with the
+    single-device codec (SURVEY.md §2.5: temporal-wave + tile sharding)."""
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import decode_video, encode_video
+
+    from tests.test_e2e import H, W, _synthetic_frames
+
+    _, params = init_fullnet(TINY, spatial=64)
+    frames = _synthetic_frames(5)
+    cfg = CodingConfig(coding_config="RA", gop_size=4, intra_period=4)
+
+    base = FrameCodec(TINY, params, H, W)
+    res0 = encode_video(base, frames, cfg, wave_batch=2)
+
+    mesh = make_mesh(4, spatial=2)  # data=2 x spatial=2
+    with mesh:
+        sharded = FrameCodec(TINY, params, H, W, mesh=mesh)
+        res1 = encode_video(sharded, frames, cfg, wave_batch=2)
+        dec1 = decode_video(sharded, res1.bitstream)
+
+    assert res1.bitstream == res0.bitstream
+    for idx in res0.decoded_frames:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(
+                dec1[idx][k], res0.decoded_frames[idx][k],
+                err_msg=f"data x spatial drift frame {idx} {k}")
