@@ -29,9 +29,20 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import numpy as np
 
 
-def heldout_clips(n_clips: int, n_frames: int, h: int, w: int):
-    """Held-out content: natural-texture moving clips from seeds >= 10^6
-    (training uses the run seed's low range) + one sinusoid clip."""
+def heldout_clips(n_clips: int, n_frames: int, h: int, w: int,
+                  in_dist: bool = False):
+    """Held-out content.  Default: OUT-OF-GENERATOR families from
+    eval_data.py (content the training generator cannot produce —
+    VERDICT r1 flagged in-distribution evaluation as optimistic).
+    in_dist=True restores the round-1 behaviour (train_toy clips from
+    disjoint seeds) for comparisons against older numbers."""
+    if not in_dist:
+        import eval_data
+
+        names = list(eval_data.FAMILIES)[:n_clips] if n_clips else None
+        return (eval_data.heldout_clips(n_frames, h, w, names),
+                names or list(eval_data.FAMILIES))
+
     from bench import synthetic_frames
     from train_toy import make_batch
 
@@ -50,7 +61,8 @@ def heldout_clips(n_clips: int, n_frames: int, h: int, w: int):
                            "v": v[: (h + 1) // 2, : (w + 1) // 2]})
         clips.append(frames)
     clips.append(synthetic_frames(n_frames, h, w, seed=777))
-    return clips
+    return clips, [f"train_gen_{1_000_000 + s}" for s in range(n_clips - 1)
+                   ] + ["sinusoid"]
 
 
 def main():
@@ -60,7 +72,14 @@ def main():
     ap.add_argument("--h", type=int, default=240)
     ap.add_argument("--w", type=int, default=416)
     ap.add_argument("--frames", type=int, default=9)
-    ap.add_argument("--clips", type=int, default=3)
+    ap.add_argument("--clips", type=int, default=0,
+                    help="limit clip count (0 = every held-out family)")
+    ap.add_argument("--in_dist", action="store_true",
+                    help="round-1 behaviour: clips from the TRAINING "
+                         "generator (disjoint seeds) instead of the "
+                         "out-of-generator families")
+    ap.add_argument("--per_clip", action="store_true",
+                    help="also print one row per clip family")
     ap.add_argument("--gop_size", type=int, default=8)
     ap.add_argument("--rates", default="0,3,6")
     ap.add_argument("--wave_batch", type=int, default=4)
@@ -76,7 +95,8 @@ def main():
     from aivc_tpu.utils.checkpoint import load_checkpoint
 
     rates = [float(r) for r in args.rates.split(",")]
-    clips = heldout_clips(args.clips, args.frames, args.h, args.w)
+    clips, clip_names = heldout_clips(args.clips, args.frames, args.h,
+                                      args.w, in_dist=args.in_dist)
 
     for ckpt in args.ckpt or ["models_ckpt/bf16-toy"]:
         cfg, params = load_checkpoint(ckpt)
@@ -86,16 +106,22 @@ def main():
             coding = CodingConfig(coding_config="RA", gop_size=args.gop_size,
                                   intra_period=args.gop_size, idx_rate=r)
             bpps, psnrs, mss = [], [], []
-            for frames in clips:
+            for cname, frames in zip(clip_names, clips):
                 res = encode_video(codec, frames, coding,
                                    wave_batch=args.wave_batch)
-                dec = decode_video(codec, res.bitstream,
-                                   wave_batch=args.wave_batch)
+                dec = decode_video(codec, res.bitstream)
                 m = evaluate_frames(frames, dec)
                 bpps.append(res.total_bytes * 8.0
                             / (args.h * args.w * len(frames)))
                 psnrs.append(m["psnr"])
                 mss.append(m["ms_ssim"])
+                if args.per_clip:
+                    print(json.dumps({
+                        "ckpt": ckpt, "clip": cname, "idx_rate": r,
+                        "bpp": round(float(bpps[-1]), 4),
+                        "psnr": round(float(m["psnr"]), 3),
+                        "ms_ssim": round(float(m["ms_ssim"]), 5)}),
+                        flush=True)
             row = {"ckpt": ckpt, "idx_rate": r,
                    "bpp": round(float(np.mean(bpps)), 4),
                    "psnr": round(float(np.mean(psnrs)), 3),

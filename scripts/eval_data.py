@@ -1,0 +1,147 @@
+"""Out-of-generator held-out evaluation clips.
+
+Round-1 evaluation drew held-out clips from the SAME procedural generator
+as training (different seeds), so reported quality was an optimistic
+bound (VERDICT r1).  These families are deliberately outside what
+scripts/train_toy.py can produce:
+
+  * rotating radial wheel (object rotation; training only has slow global
+    rotation of the whole background),
+  * bouncing hard-edged squares with velocity reversal (training motion
+    never reverses),
+  * fast zoom on a checkerboard (beyond training's +-0.004/frame range),
+  * scrolling text-like glyph grid (screen content),
+  * evolving plasma interference (non-rigid motion; training is rigid),
+  * the bench sinusoids (smooth analytic content).
+
+All clips are deterministic in (name, h, w, n_frames).
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+from typing import Dict, List
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def _to_yuv(rgbish: np.ndarray) -> Dict[str, np.ndarray]:
+    """[H, W, 3] float [0,1] -> YUV420 uint8 frame dict (channel 0 = Y)."""
+    h, w, _ = rgbish.shape
+    y = np.clip(np.round(rgbish[..., 0] * 255), 0, 255).astype(np.uint8)
+    u = np.clip(np.round(rgbish[::2, ::2, 1] * 255), 0, 255).astype(np.uint8)
+    v = np.clip(np.round(rgbish[::2, ::2, 2] * 255), 0, 255).astype(np.uint8)
+    return {"y": y, "u": u[: (h + 1) // 2, : (w + 1) // 2],
+            "v": v[: (h + 1) // 2, : (w + 1) // 2]}
+
+
+def _wheel(n, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = h / 2.0, w / 2.0
+    r = np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2)
+    th = np.arctan2(yy - cy, xx - cx)
+    out = []
+    for t in range(n):
+        spokes = 0.5 + 0.5 * np.sign(np.sin(8 * th + 0.15 * t))
+        ring = 0.5 + 0.4 * np.sin(r / 9.0 - 0.3 * t)
+        f = np.stack([spokes * (r < 0.45 * min(h, w)) + 0.2,
+                      ring, 1.0 - spokes * ring], axis=-1)
+        out.append(_to_yuv(np.clip(f, 0, 1)))
+    return out
+
+
+def _bounce(n, h, w):
+    rng = np.random.default_rng(4)
+    bg = np.linspace(0.2, 0.8, w, dtype=np.float32)[None, :, None]
+    bg = np.repeat(np.repeat(bg, h, axis=0), 3, axis=2)
+    boxes = [{"p": rng.uniform(0.2, 0.6, 2) * [h, w],
+              "v": rng.uniform(2.0, 5.0, 2) * rng.choice([-1, 1], 2),
+              "s": rng.uniform(0.08, 0.2) * min(h, w),
+              "c": rng.uniform(0, 1, 3)} for _ in range(3)]
+    out = []
+    for _t in range(n):
+        f = bg.copy()
+        for b in boxes:
+            y0, x0 = b["p"]
+            s = b["s"]
+            ys, xs = int(max(0, y0 - s)), int(max(0, x0 - s))
+            ye, xe = int(min(h, y0 + s)), int(min(w, x0 + s))
+            f[ys:ye, xs:xe] = b["c"]
+            b["p"] += b["v"]
+            for ax, lim in ((0, h), (1, w)):
+                if b["p"][ax] < s or b["p"][ax] > lim - s:
+                    b["v"][ax] *= -1.0
+                    b["p"][ax] = np.clip(b["p"][ax], s, lim - s)
+        out.append(_to_yuv(f))
+    return out
+
+
+def _zoom(n, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = h / 2.0, w / 2.0
+    out = []
+    for t in range(n):
+        sc = 1.0 / (1.0 + 0.03 * t)  # ~8x training's zoom rate
+        u = (xx - cx) * sc / 6.0
+        v = (yy - cy) * sc / 6.0
+        check = 0.5 + 0.5 * np.sign(np.sin(u * 3.14) * np.sin(v * 3.14))
+        f = np.stack([check, 0.5 + 0.3 * np.sin(u),
+                      0.5 + 0.3 * np.cos(v)], axis=-1)
+        out.append(_to_yuv(np.clip(f, 0, 1)))
+    return out
+
+
+def _glyphs(n, h, w):
+    rng = np.random.default_rng(9)
+    cell = 8
+    gh, gw = h // cell, w + 2 * h  # wide band that scrolls horizontally
+    grid = (rng.random((gh, gw // cell)) < 0.45).astype(np.float32)
+    band = np.kron(grid, np.ones((cell, cell), np.float32))[:h]
+    out = []
+    for t in range(n):
+        off = 3 * t
+        sl = band[:, off:off + w]
+        if sl.shape[1] < w:
+            sl = np.pad(sl, ((0, 0), (0, w - sl.shape[1])))
+        f = np.stack([0.9 - 0.8 * sl, 0.9 - 0.8 * sl, 0.85 - 0.6 * sl],
+                     axis=-1)
+        out.append(_to_yuv(f[:h, :w]))
+    return out
+
+
+def _plasma(n, h, w):
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    out = []
+    for t in range(n):
+        a = np.sin(xx / 16.0 + 0.5 * t) + np.sin(yy / 23.0 - 0.3 * t)
+        b = np.sin((xx + yy) / 29.0 + 0.2 * t) + np.sin(
+            np.sqrt((xx - w / 2) ** 2 + (yy - h / 2) ** 2) / 13.0 - 0.4 * t)
+        f = np.stack([0.5 + 0.25 * a, 0.5 + 0.25 * b,
+                      0.5 + 0.125 * (a - b)], axis=-1)
+        out.append(_to_yuv(np.clip(f, 0, 1)))
+    return out
+
+
+def _sinusoid(n, h, w):
+    from bench import synthetic_frames
+
+    return synthetic_frames(n, h, w, seed=777)
+
+
+FAMILIES = {
+    "wheel": _wheel,
+    "bounce": _bounce,
+    "zoom": _zoom,
+    "glyphs": _glyphs,
+    "plasma": _plasma,
+    "sinusoid": _sinusoid,
+}
+
+
+def heldout_clips(n_frames: int, h: int, w: int,
+                  names=None) -> List[List[Dict[str, np.ndarray]]]:
+    names = names or list(FAMILIES)
+    return [FAMILIES[nm](n_frames, h, w) for nm in names]
