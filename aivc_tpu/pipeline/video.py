@@ -263,19 +263,38 @@ def encode_video(codec: FrameCodec, frames: Sequence[Dict[str, np.ndarray]],
         header0 = bs.GopHeader(gop_struct_name=name, idx_rate=coding.idx_rate)
         for start in range(0, n_frames, wave_batch):
             group = list(range(start, min(start + wave_batch, n_frames)))
+            if store is not None and all(store.has(i) for i in group):
+                # Resume: reload the whole batch and re-decode it at the
+                # SAME grouping the encoder used (the batch is part of
+                # the determinism contract, see wave_groups).
+                chunks = [store.load(i) for i in group]
+                gop_chunks.extend(chunks)
+                for i in group:
+                    results.extend(store.load_results(i))
+                decs = codec.decode_frames_batch(
+                    [bs.unpack_gop(c)[1][0] for c in chunks],
+                    [None] * len(group), [None] * len(group), 0,
+                    coding.idx_rate, backend=codec.backend)
+                for i, dec in zip(group, decs):
+                    all_decoded[i] = dec
+                continue
             fbs, decs, stats = codec.encode_frames_batch(
                 [frames[i] for i in group], [None] * len(group),
                 [None] * len(group), 0, coding.idx_rate)
             for i, fb, dec, st in zip(group, fbs, decs, stats):
-                gop_chunks.append(bs.pack_gop(header0, [fb]))
+                chunk = bs.pack_gop(header0, [fb])
+                gop_chunks.append(chunk)
                 all_decoded[i] = dec
-                results.append(FrameResult(
+                fr = FrameResult(
                     idx=i, frame_type=0, bytes=st["bytes"],
                     mode_bytes=st["mode_bytes"],
                     codec_bytes=st["codec_bytes"],
                     alpha_mean=st["alpha_mean"], beta_mean=st["beta_mean"],
                     bpp=st["bytes"] * 8.0 / n_pix,
-                    analytic_bits=st.get("analytic_bits", 0.0)))
+                    analytic_bits=st.get("analytic_bits", 0.0))
+                results.append(fr)
+                if store is not None:
+                    store.save(i, chunk, [fr])
         header = codec.video_header(nb_gop, idx_first, idx_last,
                                     wave_batch=wave_batch)
         video = bs.pack_video(header, gop_chunks)

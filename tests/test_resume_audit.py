@@ -89,3 +89,27 @@ def test_rate_audit_attaches_analytic_bits():
         for k in ("y", "u", "v"):
             np.testing.assert_array_equal(dec[idx][k],
                                           res.decoded_frames[idx][k])
+
+
+def test_ai_fast_path_stream_dir_resume(tmp_path, codec):
+    """All-Intra batched encodes salvage per-frame chunks too, and the
+    resumed batch re-decodes at the encoder's grouping."""
+    frames = _synthetic_frames(6)
+    ai = CodingConfig(coding_config="AI")
+    sdir = tmp_path / "ai"
+    full = encode_video(codec, frames, ai, wave_batch=2,
+                        stream_dir=str(sdir))
+    assert sorted(p.name for p in sdir.glob("gop_*.bin")) == [
+        f"gop_{i:05d}.bin" for i in range(6)]
+
+    # Crash: lose the last batch (frames 4, 5).
+    for i in (4, 5):
+        (sdir / f"gop_{i:05d}.bin").unlink()
+        (sdir / f"gop_{i:05d}.json").unlink()
+    resumed = encode_video(codec, frames, ai, wave_batch=2,
+                           stream_dir=str(sdir))
+    assert resumed.bitstream == full.bitstream
+    for idx in full.decoded_frames:
+        for k in ("y", "u", "v"):
+            np.testing.assert_array_equal(resumed.decoded_frames[idx][k],
+                                          full.decoded_frames[idx][k])
