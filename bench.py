@@ -18,6 +18,12 @@ per-run log lines).  BASELINE.json's target is >= 2x the reference's
 1080p encode FPS on one chip; we take a 1.5 frames/s estimate for the
 reference (PyTorch-1.7-era learned video codec at 1080p on a datacenter
 GPU), so vs_baseline = fps / 3.0 means >= 1.0 hits the 2x target.
+The estimate is grounded in-env (BASELINE.md "measured grounding"):
+a reference-shaped torch pipeline (scripts/ref_baseline.py, built from
+the reference's own layer classes, entropy coding omitted) measures
+0.007 fps at 1080p on this host's CPU vs 0.029 fps for our full
+pipeline on the same CPU — so the 1.5 fps GPU figure already grants
+the reference ~200x its measured CPU speed.
 
 Env overrides: BENCH_H, BENCH_W, BENCH_GOP, BENCH_MODEL=tiny|base|bf16,
 BENCH_CKPT=<dir>|none, BENCH_ENTROPY, BENCH_WAVES, BENCH_REPS,
