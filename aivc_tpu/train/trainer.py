@@ -21,10 +21,32 @@ from aivc_tpu.models.fullnet import FullNet
 from aivc_tpu.train.loss import gop_rd_loss
 
 
-def make_optimizer(lr: float = 1e-4, clip: float = 1.0):
+def make_optimizer(lr: float = 1e-4, clip: float = 1.0,
+                   lr_final: float | None = None,
+                   decay_steps: int | None = None,
+                   warmup_steps: int = 0):
+    """Adam with global-norm clipping.
+
+    With ``lr_final``/``decay_steps`` set, the learning rate warms up
+    linearly for ``warmup_steps`` then follows a cosine decay from ``lr``
+    to ``lr_final`` over ``decay_steps`` (constant ``lr`` otherwise —
+    the round-1 behaviour).  The reference ships no training loop at all
+    (SURVEY §2.3); the schedule exists because the round-1 constant-LR
+    polish run regressed where a decayed tail would not have.
+    """
+    if lr_final is not None and decay_steps:
+        schedule = optax.warmup_cosine_decay_schedule(
+            init_value=0.0 if warmup_steps else lr,
+            peak_value=lr,
+            warmup_steps=max(warmup_steps, 1) if warmup_steps else 0,
+            decay_steps=decay_steps,
+            end_value=lr_final,
+        )
+    else:
+        schedule = lr
     return optax.chain(
         optax.clip_by_global_norm(clip),
-        optax.adam(lr),
+        optax.adam(schedule),
     )
 
 

@@ -279,11 +279,21 @@ def main():
                     choices=["tiny", "base", "bf16"])
     ap.add_argument("--gop", default="1_GOP_2")
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--lr_final", type=float, default=0.0,
+                    help="cosine-decay the lr to this value over --steps "
+                         "(0 = constant lr, the round-1 behaviour)")
+    ap.add_argument("--warmup", type=int, default=0,
+                    help="linear lr warmup steps (useful when resuming "
+                         "into a changed objective, e.g. a new ladder)")
     ap.add_argument("--out", default="")
     ap.add_argument("--resume", default="",
                     help="checkpoint dir to initialize params from")
     ap.add_argument("--save_every", type=int, default=0,
                     help="also save a checkpoint every N steps")
+    ap.add_argument("--snapshot_every", type=int, default=0,
+                    help="save step-stamped snapshot dirs (<out>-s<step>) "
+                         "every N steps, so the best intermediate can be "
+                         "promoted after held-out evaluation")
     ap.add_argument("--dist", default="mse")
     ap.add_argument("--workers", type=int, default=4,
                     help="prefetch threads (each with its own rng slot)")
@@ -303,7 +313,11 @@ def main():
         cfg_loaded, params = load_checkpoint(args.resume)
         print(f"resumed params from {args.resume} ({cfg_loaded.name})")
     gop = generate_gop_struct(args.gop)
-    opt = make_optimizer(args.lr)
+    opt = make_optimizer(
+        args.lr,
+        lr_final=args.lr_final or None,
+        decay_steps=args.steps if args.lr_final else None,
+        warmup_steps=args.warmup)
     opt_state = opt.init(params)
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist)
 
@@ -346,6 +360,11 @@ def main():
         if args.out and args.save_every and step and step % args.save_every == 0:
             save_checkpoint(args.out, cfg, params)
             print(f"checkpoint @ step {step} -> {args.out}", flush=True)
+        if (args.out and args.snapshot_every and step
+                and step % args.snapshot_every == 0):
+            snap = f"{args.out}-s{step}"
+            save_checkpoint(snap, cfg, params)
+            print(f"snapshot @ step {step} -> {snap}", flush=True)
 
     if args.out:
         save_checkpoint(args.out, cfg, params)
