@@ -139,7 +139,6 @@ def pick_checkpoint() -> str:
         return ckpt
     for cand in ("/root/repo/models_ckpt/flagship",
                  "/root/repo/models_ckpt/bf16-r2",
-                 "/root/repo/models_ckpt/bf16-v4",
                  "/root/repo/models_ckpt/bf16-v3",
                  "/root/repo/models_ckpt/bf16-toy"):
         if os.path.isdir(cand):
