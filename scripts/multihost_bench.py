@@ -77,18 +77,28 @@ WORKER = textwrap.dedent("""
     coding = CodingConfig(coding_config="RA", gop_size=cfg["gop_size"],
                           intra_period=cfg["gop_size"])
 
-    # Warm-up (compile every stage), then the timed run.
+    # Warm-up (compile every stage), then the timed run.  Besides wall
+    # clock, record this worker's CPU time over the timed region: on a
+    # shared box the processes contend for cores, so wall-clock efficiency
+    # under-reports what distinct hosts would give; total CPU-seconds
+    # across workers staying flat as n_proc grows is the contention-free
+    # scaling signal (no duplicated work, no busy-wait comm overhead).
     encode_video_multihost(codec, frames, coding, wave_batch=cfg["waves"])
+    c0 = time.process_time()
     t0 = time.time()
     bitstream = encode_video_multihost(codec, frames, coding,
                                        wave_batch=cfg["waves"])
     dt = time.time() - t0
+    cpu = time.process_time() - c0
+    with open(f"{out_path}.{proc_id}", "w") as f:
+        f.write(__import__("json").dumps({"cpu": cpu}))
     if proc_id == 0:
         with open(out_path, "w") as f:
             f.write(__import__("json").dumps(
                 {"dt": dt, "bytes": len(bitstream),
                  "frames": n_frames}))
-    print(f"proc {proc_id}/{n_proc}: {dt:.2f}s", flush=True)
+    print(f"proc {proc_id}/{n_proc}: {dt:.2f}s wall, {cpu:.2f}s cpu",
+          flush=True)
 """)
 
 
@@ -112,7 +122,11 @@ def run_config(n_proc: int, port: int, cfg: dict, timeout: float):
         for p in procs:
             if p.returncode != 0:
                 raise RuntimeError(f"worker failed rc={p.returncode}")
-        return json.loads(out_path.read_text())
+        res = json.loads(out_path.read_text())
+        res["cpu_total"] = sum(
+            json.loads(Path(f"{out_path}.{i}").read_text())["cpu"]
+            for i in range(n_proc))
+        return res
 
 
 def main():
@@ -131,6 +145,7 @@ def main():
            "h": args.h, "w": args.w, "model": args.model,
            "waves": args.waves}
     base_fps = None
+    base_cpu = None
     port = 29710
     for n in [int(x) for x in args.procs.split(",")]:
         res = run_config(n, port, cfg, args.timeout)
@@ -138,11 +153,18 @@ def main():
         fps = res["frames"] / res["dt"]
         if base_fps is None:
             base_fps = fps
+            base_cpu = res["cpu_total"]
         eff = fps / (base_fps * n)
         print(json.dumps({
             "processes": n, "frames": res["frames"],
             "encode_fps": round(fps, 3),
             "scaling_efficiency": round(eff, 3),
+            # contention-free signal: 1-proc CPU-s / n-proc total CPU-s.
+            # ~1.0 means the sharded run does no duplicated work and would
+            # scale on distinct hosts even when wall-clock efficiency on a
+            # shared box is core-bound.
+            "work_efficiency": round(base_cpu / max(res["cpu_total"], 1e-9), 3),
+            "cpu_seconds_total": round(res["cpu_total"], 2),
             "bitstream_bytes": res["bytes"],
         }), flush=True)
 
