@@ -1,0 +1,149 @@
+"""Stall-resilient training supervisor for the shared-relay TPU.
+
+The CI TPU sits behind a remote relay that occasionally drops a
+connection mid-step; the in-process JAX call then blocks forever and the
+run is unrecoverable from inside the process (observed round 2: a
+1950-step run wedged for 15 minutes and a probe matmul from a second
+process hung too until the wedged process was killed).  This supervisor
+makes long unattended runs survive that failure mode:
+
+  * launches scripts/train_toy.py in its own process group,
+  * watches the log file; if it stops growing for --stall_s seconds,
+    kills the process group (the relay frees up when the wedged client
+    dies) and relaunches,
+  * each relaunch resumes from the --out checkpoint and trains only the
+    REMAINING steps (parsed from the last "step N" log line), so the
+    cosine schedule keeps decaying across restarts instead of resetting,
+  * stops at --deadline_s total wall-clock, leaving the last checkpoint
+    in place.
+
+Usage:
+  python scripts/train_supervised.py --steps 9000 --out models_ckpt/x \
+      -- <extra train_toy args...>
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import signal
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def last_step(log: Path) -> int:
+    """Highest 'step N' in the CURRENT launch's log section (0 if none).
+
+    Each launch appends a '=== supervisor launch' marker and train_toy
+    counts its steps from 0, so only lines after the last marker count.
+    """
+    best = 0
+    try:
+        text = log.read_text(errors="replace")
+        text = text.rsplit("=== supervisor launch", 1)[-1]
+        for line in text.splitlines():
+            if line.startswith("step "):
+                try:
+                    best = max(best, int(line.split()[1]))
+                except (IndexError, ValueError):
+                    pass
+    except OSError:
+        pass
+    return best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, required=True,
+                    help="total optimizer steps to reach across restarts")
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--log", default="",
+                    help="log path (default <out>.log)")
+    ap.add_argument("--resume", default="",
+                    help="initial checkpoint for the FIRST launch; later "
+                         "launches resume from --out")
+    ap.add_argument("--stall_s", type=float, default=240.0,
+                    help="kill the run if the log is silent this long")
+    ap.add_argument("--deadline_s", type=float, default=0.0,
+                    help="stop launching after this much wall-clock (0 = "
+                         "run to completion)")
+    ap.add_argument("--max_restarts", type=int, default=50)
+    ap.add_argument("rest", nargs=argparse.REMAINDER,
+                    help="extra args passed to train_toy.py (after --)")
+    args = ap.parse_args()
+
+    log = Path(args.log or f"{args.out}.log")
+    extra = [a for a in args.rest if a != "--"]
+    t0 = time.time()
+    done_prior = 0  # steps completed in previous launches
+    restarts = 0
+
+    while True:
+        remaining = args.steps - done_prior
+        if remaining <= 0:
+            print(f"[supervisor] target {args.steps} steps reached")
+            return 0
+        if args.deadline_s and time.time() - t0 > args.deadline_s:
+            print("[supervisor] deadline reached; last checkpoint stands")
+            return 0
+        resume = args.out if restarts and Path(args.out).is_dir() else (
+            args.resume or "")
+        cmd = [sys.executable, "scripts/train_toy.py",
+               "--steps", str(remaining), "--out", args.out]
+        if resume:
+            cmd += ["--resume", resume]
+        cmd += extra
+        print(f"[supervisor] launch #{restarts}: {remaining} steps "
+              f"(resume={resume or 'fresh'})", flush=True)
+        with open(log, "a") as lf:
+            lf.write(f"\n=== supervisor launch #{restarts} "
+                     f"(remaining {remaining}) ===\n")
+            lf.flush()
+            proc = subprocess.Popen(cmd, cwd=REPO, stdout=lf,
+                                    stderr=subprocess.STDOUT,
+                                    start_new_session=True)
+        try:
+            while True:
+                try:
+                    proc.wait(timeout=15)
+                    break
+                except subprocess.TimeoutExpired:
+                    pass
+                silent = time.time() - log.stat().st_mtime
+                over_deadline = (args.deadline_s
+                                 and time.time() - t0 > args.deadline_s)
+                if silent > args.stall_s or over_deadline:
+                    why = ("deadline" if over_deadline
+                           else f"stalled {silent:.0f}s")
+                    print(f"[supervisor] {why}; killing process group",
+                          flush=True)
+                    os.killpg(proc.pid, signal.SIGKILL)
+                    proc.wait()
+                    break
+        except KeyboardInterrupt:
+            os.killpg(proc.pid, signal.SIGKILL)
+            raise
+        # Steps completed this launch: what the checkpoint actually has —
+        # the last multiple of save_every reached (train_toy saves to
+        # --out every save_every steps) — unless the run exited cleanly,
+        # which means it saved its final step.
+        save_every = 500
+        if "--save_every" in extra:
+            save_every = int(extra[extra.index("--save_every") + 1])
+        launch_steps = last_step(log)
+        if proc.returncode == 0:
+            done_prior += remaining
+        else:
+            done_prior += (launch_steps // save_every) * save_every
+        restarts += 1
+        if restarts > args.max_restarts:
+            print("[supervisor] too many restarts; giving up")
+            return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
