@@ -64,7 +64,16 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
             params, frame, prev, nxt,
             jnp.asarray(idx_rate, jnp.float32), spec.frame_type,
             training, rng_f, method=FullNet.forward_frame)
-        recon[spec.idx] = x_hat
+        # The REFERENCE chain sees pixel-range reconstructions, as at
+        # inference time (the decoder's 256-level cast clips to [0, 1],
+        # pipeline/codec.py; reference clamps via nn_util.py:83-97 +
+        # model_management.py:321-326).  Training on the unclamped chain
+        # let a single excursion amplify through the GOP: one blow-up
+        # batch produced |x_hat| ~ 1e8 activations downstream, MS-SSIM
+        # > 1 (negative loss) and grad norms ~ 1e8 (observed round 2,
+        # steps ~1900).  Distortion still reads the unclamped x_hat so
+        # out-of-range output is penalized rather than hidden.
+        recon[spec.idx] = jnp.clip(x_hat, 0.0, 1.0)
 
         cod = aux["cod"]
         codec_rate = (cod["rate_y"].sum() + cod["rate_z"].sum()) / (B * nb_pixel)

@@ -88,7 +88,13 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
         # state irrecoverably (observed: MS-SSIM fine-tune NaN'd at ~5k
         # steps from one blow-up batch).  The step becomes a no-op and
         # training continues.
-        ok = jnp.isfinite(gnorm) & jnp.isfinite(loss)
+        # loss < 0 is definitionally invalid for lambda*R + D with both
+        # terms non-negative (D is MSE or 1 - MS-SSIM): it means the
+        # forward blew up numerically even though the result is finite
+        # (MS-SSIM > 1 from ~1e8 activations was observed in round 2),
+        # so treat it like a non-finite step and skip.
+        ok = (jnp.isfinite(gnorm) & jnp.isfinite(loss)
+              & (loss >= -1e-3))
         new_updates, new_opt_state = optimizer.update(grads, opt_state,
                                                       params)
         new_params = optax.apply_updates(params, new_updates)

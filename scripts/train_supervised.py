@@ -68,6 +68,13 @@ def main():
                          "launches resume from --out")
     ap.add_argument("--stall_s", type=float, default=240.0,
                     help="kill the run if the log is silent this long")
+    ap.add_argument("--first_step_grace_s", type=float, default=1200.0,
+                    help="stall allowance before the first 'step' line of "
+                         "a launch: the initial jit compile is minutes of "
+                         "legitimate log silence (an uncached remote "
+                         "compile of the train step took ~11 min), and a "
+                         "240 s stall_s was observed killing every launch "
+                         "mid-compile in a loop")
     ap.add_argument("--deadline_s", type=float, default=0.0,
                     help="stop launching after this much wall-clock (0 = "
                          "run to completion)")
@@ -114,9 +121,11 @@ def main():
                 except subprocess.TimeoutExpired:
                     pass
                 silent = time.time() - log.stat().st_mtime
+                allowed = (args.stall_s if last_step(log) > 0
+                           else max(args.stall_s, args.first_step_grace_s))
                 over_deadline = (args.deadline_s
                                  and time.time() - t0 > args.deadline_s)
-                if silent > args.stall_s or over_deadline:
+                if silent > allowed or over_deadline:
                     why = ("deadline" if over_deadline
                            else f"stalled {silent:.0f}s")
                     print(f"[supervisor] {why}; killing process group",
