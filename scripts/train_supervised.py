@@ -79,6 +79,10 @@ def main():
                     help="stop launching after this much wall-clock (0 = "
                          "run to completion)")
     ap.add_argument("--max_restarts", type=int, default=50)
+    ap.add_argument("--initial_step", type=int, default=0,
+                    help="absolute schedule step already completed by the "
+                         "--resume checkpoint (supervisor relaunches keep "
+                         "their own count from here on)")
     ap.add_argument("rest", nargs=argparse.REMAINDER,
                     help="extra args passed to train_toy.py (after --)")
     args = ap.parse_args()
@@ -86,7 +90,7 @@ def main():
     log = Path(args.log or f"{args.out}.log")
     extra = [a for a in args.rest if a != "--"]
     t0 = time.time()
-    done_prior = 0  # steps completed in previous launches
+    done_prior = args.initial_step  # absolute steps already completed
     restarts = 0
 
     while True:
@@ -99,13 +103,19 @@ def main():
             return 0
         resume = args.out if restarts and Path(args.out).is_dir() else (
             args.resume or "")
+        # --steps stays the TOTAL on every launch (the cosine schedule's
+        # decay_steps is baked into the compiled train step, so a
+        # different value is a multi-minute remote recompile on every
+        # restart); --step0 resumes the schedule position instead.
         cmd = [sys.executable, "scripts/train_toy.py",
-               "--steps", str(remaining), "--out", args.out]
+               "--steps", str(args.steps), "--step0", str(done_prior),
+               "--out", args.out]
         if resume:
             cmd += ["--resume", resume]
         cmd += extra
-        print(f"[supervisor] launch #{restarts}: {remaining} steps "
-              f"(resume={resume or 'fresh'})", flush=True)
+        print(f"[supervisor] launch #{restarts}: steps "
+              f"{done_prior}..{args.steps} (resume={resume or 'fresh'})",
+              flush=True)
         with open(log, "a") as lf:
             lf.write(f"\n=== supervisor launch #{restarts} "
                      f"(remaining {remaining}) ===\n")
@@ -136,18 +146,18 @@ def main():
         except KeyboardInterrupt:
             os.killpg(proc.pid, signal.SIGKILL)
             raise
-        # Steps completed this launch: what the checkpoint actually has —
-        # the last multiple of save_every reached (train_toy saves to
-        # --out every save_every steps) — unless the run exited cleanly,
-        # which means it saved its final step.
+        # Progress: train_toy logs ABSOLUTE step numbers (step0-based).
+        # The checkpoint has the last multiple of save_every reached —
+        # unless the run exited cleanly, having saved its final step.
         save_every = 500
         if "--save_every" in extra:
             save_every = int(extra[extra.index("--save_every") + 1])
-        launch_steps = last_step(log)
+        last_abs = last_step(log)
         if proc.returncode == 0:
-            done_prior += remaining
+            done_prior = args.steps
         else:
-            done_prior += (launch_steps // save_every) * save_every
+            done_prior = max(done_prior,
+                             (last_abs // save_every) * save_every)
         restarts += 1
         if restarts > args.max_restarts:
             print("[supervisor] too many restarts; giving up")

@@ -273,6 +273,14 @@ def make_batch(rng: np.random.Generator, n_frames: int, batch: int, size: int):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=200)
+    ap.add_argument("--step0", type=int, default=0,
+                    help="resume the LR schedule at this absolute step: "
+                         "the cosine's decay_steps tracks --steps, so "
+                         "relaunches must keep --steps (total) constant "
+                         "for the compile cache to hit, and pass the "
+                         "completed count here; the optimizer state's "
+                         "count leaves are fast-forwarded so warmup is "
+                         "not repeated and the decay continues")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--model", default="tiny",
@@ -299,7 +307,13 @@ def main():
                     help="prefetch threads (each with its own rng slot)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
+    ap.add_argument("--cpu", action="store_true",
+                    help="train on host CPU (sitecustomize pins the axon "
+                         "TPU platform; env JAX_PLATFORMS alone does not "
+                         "stick — see .claude/skills/verify gotchas)")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     from aivc_tpu.config import ModelConfig
     from aivc_tpu.gop import generate_gop_struct
@@ -319,6 +333,19 @@ def main():
         decay_steps=args.steps if args.lr_final else None,
         warmup_steps=args.warmup)
     opt_state = opt.init(params)
+    if args.step0:
+        def _ff(s):
+            # NB 'count' must be looked up in _fields: every tuple has a
+            # .count METHOD, so hasattr(s, 'count') is always true.
+            if hasattr(s, "_fields"):
+                if "count" in s._fields:
+                    s = s._replace(count=jnp.asarray(args.step0, jnp.int32))
+                return s
+            if isinstance(s, (tuple, list)):
+                return type(s)(_ff(x) for x in s)
+            return s
+        opt_state = _ff(opt_state)
+        print(f"schedule fast-forwarded to step {args.step0}")
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist)
 
     rng = jax.random.PRNGKey(args.seed)
@@ -343,7 +370,7 @@ def main():
 
     futs = deque(ex.submit(gen, w) for w in range(workers))
     t0 = time.time()
-    for step in range(args.steps):
+    for step in range(args.step0, args.steps):
         frames_np, idx_rate = futs.popleft().result()
         futs.append(ex.submit(gen, step % workers))
         frames = jnp.asarray(frames_np)
