@@ -71,10 +71,23 @@ class _BatchPlanes:
 
     __slots__ = ("_dev", "_shapes", "_host")
 
-    def __init__(self, packed_dev, shapes):
+    def __init__(self, packed_dev, shapes, eager_pull: bool = False):
         self._dev = packed_dev
         self._shapes = shapes
         self._host = None
+        if eager_pull and packed_dev is not None:
+            # Kick off the device->host DMA now, without blocking: a
+            # 1080p GOP32 decode moves ~100 MB of planes, and pulling
+            # them serially AFTER all compute finished left the link
+            # idle during decode.  np.asarray in host() then completes
+            # an already-started copy instead of starting one.  Only the
+            # DECODE paths opt in — the encoder's closed-loop archive is
+            # often never pulled, and an eager copy there would spend
+            # relay bandwidth inside the encode window.
+            try:
+                packed_dev.copy_to_host_async()
+            except (AttributeError, RuntimeError):
+                pass  # backend without async copies: host() still works
 
     @classmethod
     def from_host_planes(cls, planes):
@@ -852,9 +865,11 @@ class FrameCodec:
         arrs = [r if r is not None else self._zero_ref() for r in refs]
         return arrs[0] if len(arrs) == 1 else jnp.concatenate(arrs, axis=0)
 
-    def _split_decoded(self, packed_dev, ref444, k: int):
+    def _split_decoded(self, packed_dev, ref444, k: int,
+                       eager_pull: bool = False):
         batch = _BatchPlanes(packed_dev,
-                             ((self.h, self.w), (self.h_uv, self.w_uv)))
+                             ((self.h, self.w), (self.h_uv, self.w_uv)),
+                             eager_pull=eager_pull)
         if k == 1:
             return [DecodedFrame(batch, 0, ref444)]
         return [DecodedFrame(batch, i, ref444[i:i + 1]) for i in range(k)]
@@ -1435,7 +1450,8 @@ class FrameCodec:
             y_cqc = jnp.zeros((k,) + yshape_c, jnp.int16)
         planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip,
                                              rate, ftype=frame_type)
-        return self._split_decoded(planes_dev, ref444, k)
+        return self._split_decoded(planes_dev, ref444, k,
+                                   eager_pull=True)
 
     def decode_frames_batch(self, frame_bytes_list, prev_refs, next_refs,
                             frame_type: int, idx_rate: float,
@@ -1501,7 +1517,8 @@ class FrameCodec:
         planes_dev, ref444 = self._cod_synth(p, jnp.asarray(y_cqc), mu_c,
                                              pred, skip, rate,
                                              ftype=frame_type)
-        return self._split_decoded(planes_dev, ref444, k)
+        return self._split_decoded(planes_dev, ref444, k,
+                                   eager_pull=True)
 
     def decode_frame(self, frame_bytes: bytes,
                      prev_ref: Optional[jax.Array],

@@ -49,10 +49,17 @@ def main():
     def msssim_db(r):
         return -10.0 * math.log10(max(1.0 - r["ms_ssim"], 1e-12))
 
-    out = {
-        "bd_rate_pct_vs_ref": round(bd_rate(
+    try:
+        bdr = round(bd_rate(
             [(r["bpp"], r["psnr"]) for r in ref],
-            [(r["bpp"], r["psnr"]) for r in test]), 3),
+            [(r["bpp"], r["psnr"]) for r in test]), 3)
+    except ValueError as e:
+        # Curves with disjoint quality ranges have no BD-rate integral —
+        # one curve dominates outright; BD-PSNR (over the shared bpp
+        # range) below still quantifies by how much.
+        bdr = f"undefined ({e})"
+    out = {
+        "bd_rate_pct_vs_ref": bdr,
         "bd_psnr_db_vs_ref": round(bd_psnr(
             [(r["bpp"], r["psnr"]) for r in ref],
             [(r["bpp"], r["psnr"]) for r in test]), 4),
