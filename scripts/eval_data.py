@@ -131,6 +131,57 @@ def _sinusoid(n, h, w):
     return synthetic_frames(n, h, w, seed=777)
 
 
+def _photowarp(n, h, w):
+    """Natural-composite family: HELD-OUT photographic textures (see
+    scripts/photo_pool.py — disjoint from every training texture) under
+    global affine pan/zoom with a locally-moving photographic patch that
+    reverses velocity mid-clip, plus film grain.  The closest this
+    zero-egress environment gets to natural video; results on it are
+    still NOT comparable to CLIC21/HEVC numbers (docs/STATUS.md)."""
+    from photo_pool import heldout_pool
+
+    pool = heldout_pool()
+    if not pool:  # assets unavailable: fall back to a deterministic family
+        return _plasma(n, h, w)
+    rng = np.random.default_rng(1234)
+    bg = pool[0]
+    patch_src = pool[1 % len(pool)]
+    margin = 32
+    # background crop large enough to pan inside
+    Hb, Wb, _ = bg.shape
+    ch, cw = min(Hb, h + 2 * margin), min(Wb, w + 2 * margin)
+    y0 = (Hb - ch) // 2
+    x0 = (Wb - cw) // 2
+    bgc = bg[y0:y0 + ch, x0:x0 + cw]
+    ph, pw = max(16, h // 4), max(16, w // 4)
+    patch = patch_src[:ph, :pw]
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    vy, vx = 1.3, -2.1          # global pan
+    pv = np.array([2.4, 1.7])   # patch velocity (reverses at n // 2)
+    ppos = np.array([h * 0.3, w * 0.25])
+    out = []
+    for t in range(n):
+        zoom = 1.0 + 0.002 * t
+        sy = np.clip((yy - h / 2) * zoom + h / 2 + margin + vy * t,
+                     0, ch - 1.001)
+        sx = np.clip((xx - w / 2) * zoom + w / 2 + margin + vx * t,
+                     0, cw - 1.001)
+        iy, ix = sy.astype(np.int32), sx.astype(np.int32)
+        fy, fx = (sy - iy)[..., None], (sx - ix)[..., None]
+        iy1 = np.minimum(iy + 1, ch - 1)
+        ix1 = np.minimum(ix + 1, cw - 1)
+        f = (bgc[iy, ix] * (1 - fy) * (1 - fx) + bgc[iy, ix1] * (1 - fy) * fx
+             + bgc[iy1, ix] * fy * (1 - fx) + bgc[iy1, ix1] * fy * fx)
+        py = int(np.clip(ppos[0], 0, h - ph))
+        px = int(np.clip(ppos[1], 0, w - pw))
+        f[py:py + ph, px:px + pw] = patch
+        step = pv if t < n // 2 else -pv
+        ppos = ppos + step
+        f = f + rng.normal(scale=0.004, size=f.shape)
+        out.append(_to_yuv(np.clip(f, 0, 1).astype(np.float32)))
+    return out
+
+
 FAMILIES = {
     "wheel": _wheel,
     "bounce": _bounce,
@@ -138,6 +189,7 @@ FAMILIES = {
     "glyphs": _glyphs,
     "plasma": _plasma,
     "sinusoid": _sinusoid,
+    "photowarp": _photowarp,
 }
 
 

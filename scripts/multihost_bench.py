@@ -146,6 +146,7 @@ def main():
            "waves": args.waves}
     base_fps = None
     base_cpu = None
+    base_n = None
     port = 29710
     for n in [int(x) for x in args.procs.split(",")]:
         res = run_config(n, port, cfg, args.timeout)
@@ -154,16 +155,20 @@ def main():
         if base_fps is None:
             base_fps = fps
             base_cpu = res["cpu_total"]
-        eff = fps / (base_fps * n)
+            base_n = n
+        eff = fps * base_n / (base_fps * n)
         print(json.dumps({
             "processes": n, "frames": res["frames"],
             "encode_fps": round(fps, 3),
             "scaling_efficiency": round(eff, 3),
-            # contention-free signal: 1-proc CPU-s / n-proc total CPU-s.
+            # contention-free signal: baseline CPU-s / n-proc total CPU-s.
             # ~1.0 means the sharded run does no duplicated work and would
             # scale on distinct hosts even when wall-clock efficiency on a
-            # shared box is core-bound.
+            # shared box is core-bound.  The baseline is the FIRST measured
+            # process count (work_baseline_procs), which is only the
+            # classic '1-proc' normalization when --procs starts at 1.
             "work_efficiency": round(base_cpu / max(res["cpu_total"], 1e-9), 3),
+            "work_baseline_procs": base_n,
             "cpu_seconds_total": round(res["cpu_total"], 2),
             "bitstream_bytes": res["bytes"],
         }), flush=True)

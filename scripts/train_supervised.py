@@ -56,6 +56,31 @@ def last_step(log: Path) -> int:
     return best
 
 
+def last_saved_step(log: Path) -> int:
+    """Highest step with an ACTUAL 'checkpoint @ step N' line in the
+    current launch's log section (-1 if none).
+
+    Progress after a stall-kill must come from checkpoints that exist on
+    disk, not from an assumed save cadence: inferring (last_step //
+    save_every) * save_every silently drops steps whenever the assumed
+    cadence doesn't match train_toy's actual --save_every.
+    """
+    best = -1
+    try:
+        text = log.read_text(errors="replace")
+        text = text.rsplit("=== supervisor launch", 1)[-1]
+        for line in text.splitlines():
+            if line.startswith("checkpoint @ step ") or \
+                    line.startswith("snapshot @ step "):
+                try:
+                    best = max(best, int(line.split("step ")[1].split()[0]))
+                except (IndexError, ValueError):
+                    pass
+    except OSError:
+        pass
+    return best
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, required=True,
@@ -89,6 +114,12 @@ def main():
 
     log = Path(args.log or f"{args.out}.log")
     extra = [a for a in args.rest if a != "--"]
+    # Progress tracking depends on mid-run checkpoints existing; train_toy's
+    # --save_every default is 0 (none), which would make every stall-kill
+    # restart from the launch's starting checkpoint.  Force a cadence when
+    # the caller didn't pick one.
+    if "--save_every" not in extra:
+        extra += ["--save_every", "500"]
     t0 = time.time()
     done_prior = args.initial_step  # absolute steps already completed
     restarts = 0
@@ -146,18 +177,17 @@ def main():
         except KeyboardInterrupt:
             os.killpg(proc.pid, signal.SIGKILL)
             raise
-        # Progress: train_toy logs ABSOLUTE step numbers (step0-based).
-        # The checkpoint has the last multiple of save_every reached —
-        # unless the run exited cleanly, having saved its final step.
-        save_every = 500
-        if "--save_every" in extra:
-            save_every = int(extra[extra.index("--save_every") + 1])
-        last_abs = last_step(log)
+        # Progress: train_toy logs ABSOLUTE step numbers (step0-based) and
+        # a 'checkpoint @ step N' line for every save it actually made.
+        # The checkpoint on disk holds the params AFTER completing step N,
+        # so the relaunch resumes at N + 1 — resuming at N would re-apply
+        # an already-applied optimizer step.
         if proc.returncode == 0:
             done_prior = args.steps
         else:
-            done_prior = max(done_prior,
-                             (last_abs // save_every) * save_every)
+            saved = last_saved_step(log)
+            if saved >= 0:
+                done_prior = max(done_prior, saved + 1)
         restarts += 1
         if restarts > args.max_restarts:
             print("[supervisor] too many restarts; giving up")

@@ -51,26 +51,14 @@ def _texture_1f(rng: np.random.Generator, s2: int):
 
 def _natural_pool():
     """Natural RGB images bundled with installed packages (the environment
-    has no external video data): sklearn's two sample photos and
-    matplotlib's grace_hopper.  float32 [H, W, 3] in [0, 1]."""
-    pool = []
-    try:
-        from sklearn.datasets import load_sample_images
+    has no external video data): sklearn/matplotlib sample photos plus
+    material photographs (wood, skin, marble, grass, foil...) from
+    simulation-asset packages.  The held-out textures in
+    scripts/photo_pool.py are deliberately EXCLUDED.  float32 [H, W, 3]
+    in [0, 1]."""
+    from photo_pool import train_pool
 
-        for im in load_sample_images().images:
-            pool.append(np.asarray(im, np.float32) / 255.0)
-    except Exception:
-        pass
-    try:
-        import matplotlib.cbook as cbook
-        from PIL import Image
-
-        with cbook.get_sample_data("grace_hopper.jpg") as f:
-            pool.append(
-                np.asarray(Image.open(f).convert("RGB"), np.float32) / 255.0)
-    except Exception:
-        pass
-    return pool
+    return train_pool()
 
 
 _NATURAL = None
@@ -200,6 +188,10 @@ def _new_scene(rng: np.random.Generator, size: int, margin: int):
                 else rng.uniform(-2.5, 2.5, 2)),
         "zoom": rng.uniform(-0.004, 0.004),
         "rot": rng.uniform(-0.004, 0.004),
+        # 20% of scenes reverse all motion at a random time (bounce-like;
+        # without this, training motion is strictly linear in t and the
+        # held-out velocity-reversal family is fully out-of-distribution)
+        "t_rev": (int(rng.integers(1, 6)) if rng.random() < 0.2 else -1),
         "fgs": [],
     }
     for _ in range(int(rng.integers(0, 3))):
@@ -220,6 +212,9 @@ def _new_scene(rng: np.random.Generator, size: int, margin: int):
 
 def _render_scene(scene, t: int, size: int, margin: int,
                   yy: np.ndarray, xx: np.ndarray):
+    t_rev = scene.get("t_rev", -1)
+    if t_rev > 0 and t > t_rev:  # motion retraces after the reversal
+        t = 2 * t_rev - t
     cy0 = cx0 = (size - 1) / 2.0
     s = np.sin(scene["rot"] * t)
     c = np.cos(scene["rot"] * t) * (1.0 + scene["zoom"] * t)
@@ -337,10 +332,18 @@ def main():
         def _ff(s):
             # NB 'count' must be looked up in _fields: every tuple has a
             # .count METHOD, so hasattr(s, 'count') is always true.
+            # Only the SCHEDULE's count is fast-forwarded.  Adam's own
+            # count must stay 0: its mu/nu are freshly zeroed here, and a
+            # fast-forwarded count disables bias correction, making the
+            # first ~100 post-restart updates ~3x the intended LR.
             if hasattr(s, "_fields"):
-                if "count" in s._fields:
+                if "count" in s._fields and "mu" not in s._fields:
                     s = s._replace(count=jnp.asarray(args.step0, jnp.int32))
-                return s
+                # Recurse into namedtuple fields too (wrapped states such
+                # as optax.MultiSteps carry inner_state fields).
+                return s._replace(**{
+                    f: _ff(getattr(s, f)) for f in s._fields
+                    if isinstance(getattr(s, f), (tuple, list))})
             if isinstance(s, (tuple, list)):
                 return type(s)(_ff(x) for x in s)
             return s
@@ -348,7 +351,7 @@ def main():
         print(f"schedule fast-forwarded to step {args.step0}")
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist)
 
-    rng = jax.random.PRNGKey(args.seed)
+    rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), args.step0)
     n_rates = len(cfg.lambda_tradeoff)
 
     # Host-side prefetch: batches are generated on worker threads while
@@ -361,7 +364,10 @@ def main():
 
     workers = max(1, args.workers)
     ex = ThreadPoolExecutor(max_workers=workers)
-    slot_rngs = [np.random.default_rng([args.seed, w]) for w in range(workers)]
+    # step0 folds into the seeding so a supervisor relaunch doesn't
+    # re-generate (and re-train on) the same early batches it already saw.
+    slot_rngs = [np.random.default_rng([args.seed, w, args.step0])
+                 for w in range(workers)]
 
     def gen(slot):
         r = slot_rngs[slot]
