@@ -29,8 +29,6 @@ from typing import Dict, List, Tuple
 import numpy as np
 
 from aivc_tpu.coding import range_coder
-from aivc_tpu.coding.cdf import N_SYMBOLS
-from aivc_tpu.config import AC_MAX_VAL
 
 CHUNK_ORDER = ("mofnet_z", "mofnet_y", "codecnet_z", "codecnet_y")
 
@@ -40,10 +38,14 @@ CHUNK_ORDER = ("mofnet_z", "mofnet_y", "codecnet_z", "codecnet_y")
 # ---------------------------------------------------------------------------
 
 def encode_z_chunk(z: np.ndarray, cdf_rows: np.ndarray) -> bytes:
-    """Encode a hyper-latent [H, W, C] int array with per-channel CDF rows."""
+    """Encode a hyper-latent [H, W, C] int array with per-channel CDF rows.
+
+    The alphabet (symbol shift and width) derives from the CDF row width:
+    rows are [R, 2*ac_max + 1] and symbols live in [-ac_max, ac_max-1]."""
     H, W, C = z.shape
-    sym = (z.astype(np.int64) + AC_MAX_VAL)
-    if sym.min() < 0 or sym.max() >= N_SYMBOLS:
+    n_sym = cdf_rows.shape[1] - 1
+    sym = (z.astype(np.int64) + n_sym // 2)
+    if sym.min() < 0 or sym.max() >= n_sym:
         raise ValueError("z symbol out of range")
     row_idx = np.broadcast_to(np.arange(C, dtype=np.int32), (H, W, C))
     return range_coder.encode(
@@ -58,7 +60,8 @@ def decode_z_chunk(data: bytes, shape: Tuple[int, int, int],
     H, W, C = shape
     row_idx = np.broadcast_to(np.arange(C, dtype=np.int32), (H, W, C))
     sym = range_coder.decode(data, H * W * C, cdf_rows, row_idx.reshape(-1))
-    return sym.reshape(H, W, C).astype(np.int32) - AC_MAX_VAL
+    return (sym.reshape(H, W, C).astype(np.int32)
+            - (cdf_rows.shape[1] - 1) // 2)
 
 
 def encode_y_chunk(y: np.ndarray, bin_idx: np.ndarray,
@@ -77,9 +80,10 @@ def encode_y_chunk(y: np.ndarray, bin_idx: np.ndarray,
     out.append(len(nonzero))
     out.extend(int(c) for c in nonzero)
     if len(nonzero):
+        n_sym = laplace_rows.shape[1] - 1
         y_nz = y[:, :, nonzero]
-        sym = y_nz.astype(np.int64) + AC_MAX_VAL
-        if sym.min() < 0 or sym.max() >= N_SYMBOLS:
+        sym = y_nz.astype(np.int64) + n_sym // 2
+        if sym.min() < 0 or sym.max() >= n_sym:
             raise ValueError("y symbol out of range")
         idx_nz = bin_idx[:, :, nonzero]
         out.extend(range_coder.encode(
@@ -103,7 +107,8 @@ def decode_y_chunk(data: bytes, shape: Tuple[int, int, int],
             payload, H * W * n_nz, laplace_rows,
             idx_nz.reshape(-1).astype(np.int32),
         )
-        y[:, :, nonzero] = sym.reshape(H, W, n_nz).astype(np.int32) - AC_MAX_VAL
+        y[:, :, nonzero] = (sym.reshape(H, W, n_nz).astype(np.int32)
+                            - (laplace_rows.shape[1] - 1) // 2)
     return y
 
 
@@ -167,8 +172,13 @@ class VideoHeader:
     idx_last_frame: int
     backend: int = BACKEND_HOST
     wave_batch: int = 1
+    # log2 of the model's entropy-coding alphabet half-width
+    # (ModelConfig.ac_max_val; 8 = the reference's +-256).  Recorded so a
+    # decoder holding a model with a different alphabet fails loudly
+    # instead of producing garbage latents.
+    ac_log2: int = 8
 
-    SIZE = 20
+    SIZE = 21
 
     def pack(self) -> bytes:
         if not (1 <= self.wave_batch <= 255):
@@ -176,12 +186,13 @@ class VideoHeader:
         vals = (self.h_x, self.w_x, self.h_y, self.w_y, self.h_z, self.w_z,
                 self.nb_gop, self.idx_first_frame, self.idx_last_frame)
         return b"".join(v.to_bytes(2, "big") for v in vals) + bytes(
-            [self.backend, self.wave_batch])
+            [self.backend, self.wave_batch, self.ac_log2])
 
     @classmethod
     def unpack(cls, data: bytes) -> "VideoHeader":
         vals = [int.from_bytes(data[2 * i:2 * i + 2], "big") for i in range(9)]
-        return cls(*vals, backend=data[18], wave_batch=max(1, data[19]))
+        return cls(*vals, backend=data[18], wave_batch=max(1, data[19]),
+                   ac_log2=data[20] or 8)
 
     @property
     def data_dim(self) -> Dict[str, Tuple[int, int]]:

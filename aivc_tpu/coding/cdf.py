@@ -26,6 +26,9 @@ import numpy as np
 from aivc_tpu.config import AC_MAX_VAL
 from aivc_tpu.coding.range_coder import PROB_SCALE
 
+# Default alphabet (the reference's +-256); per-model narrower alphabets
+# pass ac_max explicitly (ModelConfig.ac_max_val) — every function below
+# that touches symbol geometry takes the row width from its inputs.
 N_SYMBOLS = 2 * AC_MAX_VAL          # 512 values in [-256, 255]
 N_EDGES = N_SYMBOLS + 1
 
@@ -37,9 +40,10 @@ _LOG_SMIN = float(np.log(SIGMA_MIN))
 _LOG_SMAX = float(np.log(SIGMA_MAX))
 
 
-def symbol_edges() -> np.ndarray:
-    """Half-integer bin edges [-256.5, ..., 255.5] (513 points)."""
-    return np.arange(N_EDGES, dtype=np.float64) - AC_MAX_VAL - 0.5
+def symbol_edges(ac_max: int = AC_MAX_VAL) -> np.ndarray:
+    """Half-integer bin edges [-ac_max-0.5, ..., ac_max-0.5]
+    (2*ac_max + 1 points; [-256.5, ..., 255.5] at the default)."""
+    return np.arange(2 * ac_max + 1, dtype=np.float64) - ac_max - 0.5
 
 
 def quantize_pmf(pmf: np.ndarray, scale: int = PROB_SCALE) -> np.ndarray:
@@ -53,16 +57,17 @@ def quantize_pmf(pmf: np.ndarray, scale: int = PROB_SCALE) -> np.ndarray:
       every symbol frequency >= 1 (so any clamped symbol stays codable).
     """
     pmf = np.asarray(pmf, dtype=np.float64)
-    if pmf.ndim != 2 or pmf.shape[1] != N_SYMBOLS:
-        raise ValueError(f"pmf must be [n_rows, {N_SYMBOLS}]")
+    if pmf.ndim != 2:
+        raise ValueError("pmf must be [n_rows, n_symbols]")
+    n_sym = pmf.shape[1]
     pmf = np.maximum(pmf, 0.0)
     total = pmf.sum(axis=1, keepdims=True)
     total[total == 0] = 1.0
     pmf = pmf / total
 
-    budget = scale - N_SYMBOLS
+    budget = scale - n_sym
     if budget <= 0:
-        raise ValueError(f"scale {scale} too small for {N_SYMBOLS} symbols")
+        raise ValueError(f"scale {scale} too small for {n_sym} symbols")
     freq = np.floor(pmf * budget).astype(np.int64) + 1
     # Distribute the integer remainder onto each row's most probable symbol
     # (deterministic argmax tie-break: lowest index).
@@ -70,7 +75,7 @@ def quantize_pmf(pmf: np.ndarray, scale: int = PROB_SCALE) -> np.ndarray:
     rows = np.arange(pmf.shape[0])
     freq[rows, pmf.argmax(axis=1)] += short
 
-    cdf = np.zeros((pmf.shape[0], N_SYMBOLS + 1), dtype=np.uint32)
+    cdf = np.zeros((pmf.shape[0], n_sym + 1), dtype=np.uint32)
     cdf[:, 1:] = np.cumsum(freq, axis=1).astype(np.uint32)
     return cdf
 
@@ -83,8 +88,8 @@ def cdf_rows_from_edge_values(edge_cdf: np.ndarray,
     to [-AC_MAX_VAL, AC_MAX_VAL - 1], so edge symbols absorb the tails).
     """
     edge_cdf = np.asarray(edge_cdf, dtype=np.float64)
-    if edge_cdf.ndim != 2 or edge_cdf.shape[1] != N_EDGES:
-        raise ValueError(f"edge_cdf must be [n_rows, {N_EDGES}]")
+    if edge_cdf.ndim != 2 or edge_cdf.shape[1] % 2 != 1:
+        raise ValueError("edge_cdf must be [n_rows, n_symbols + 1]")
     edge_cdf = edge_cdf.copy()
     edge_cdf[:, 0] = 0.0
     edge_cdf[:, -1] = 1.0
@@ -101,11 +106,14 @@ def sigma_bin_centers() -> np.ndarray:
     return np.exp(np.linspace(_LOG_SMIN, _LOG_SMAX, NBINS))
 
 
-def build_laplace_table(scale: int = PROB_SCALE) -> np.ndarray:
-    """[NBINS, N_SYMBOLS + 1] integer CDF rows for zero-mean Laplace,
-    scale b = sigma / sqrt(2) (reference: bitstream.py:127-154)."""
+def build_laplace_table(scale: int = PROB_SCALE,
+                        ac_max: int = AC_MAX_VAL) -> np.ndarray:
+    """[NBINS, 2*ac_max + 1] integer CDF rows for zero-mean Laplace,
+    scale b = sigma / sqrt(2) (reference: bitstream.py:127-154).  Tail
+    mass beyond +-ac_max folds into the edge symbols (the encoder clamps
+    latents to the alphabet)."""
     sigmas = sigma_bin_centers()
-    edges = symbol_edges()[None, :]                      # [1, 513]
+    edges = symbol_edges(ac_max)[None, :]                # [1, n_sym + 1]
     b = (sigmas / np.sqrt(2.0))[:, None]                 # [NBINS, 1]
     half_tail = 0.5 * np.exp(-np.abs(edges) / b)
     cdf = np.where(edges < 0, half_tail, 1.0 - half_tail)
@@ -160,10 +168,11 @@ def expected_bits(symbols: np.ndarray, row_idx: np.ndarray,
 # ---------------------------------------------------------------------------
 
 def build_z_table(prior_module, prior_params,
-                  scale: int = PROB_SCALE) -> np.ndarray:
-    """[C, N_SYMBOLS + 1] integer CDF rows for the hyper-latent z.
+                  scale: int = PROB_SCALE,
+                  ac_max: int = AC_MAX_VAL) -> np.ndarray:
+    """[C, 2*ac_max + 1] integer CDF rows for the hyper-latent z.
 
-    Evaluates the learned per-channel CDF once at the 513 symbol edges
+    Evaluates the learned per-channel CDF once at the symbol edges
     (the analogue of the reference's _precompute_z_cdf,
     bitstream.py:82-125) and quantizes deterministically on host.
     """
@@ -172,7 +181,7 @@ def build_z_table(prior_module, prior_params,
 
     C = prior_module.nb_channel
     edges = jnp.asarray(
-        np.tile(symbol_edges()[None, :], (C, 1)), dtype=jnp.float32
+        np.tile(symbol_edges(ac_max)[None, :], (C, 1)), dtype=jnp.float32
     )
     fn = jax.jit(
         lambda p, e: prior_module.apply(p, e, method=prior_module.cdf))

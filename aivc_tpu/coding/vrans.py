@@ -446,17 +446,18 @@ def _cdf_enc_lookup8(r8, s8, cdf_ref):
     (start_f, freq_f) as exact f32 integers.  See _cdf_dec_lookup8 for
     why the tile is fixed at 8 sublanes."""
     n_rows = cdf_ref.shape[0]
+    n_sym = cdf_ref.shape[1]
     oh_r = (r8[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (8, 128, n_rows), 2)).astype(jnp.float32)
     rc = jax.lax.dot_general(
         oh_r, cdf_ref[:],
         dimension_numbers=(((2,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
+        precision=jax.lax.Precision.HIGHEST)      # [8, 128, n_sym] exact
     # cdf[s] = max of the monotone row over columns <= s - 1 (column j of
     # rc holds cdf[j + 1]); masked maxes replace one-hot select tensors,
     # saving ~6 MB of VMEM stack per tile.  Exact in f32.
-    e512 = jax.lax.broadcasted_iota(jnp.int32, (8, 128, 512), 2)
+    e512 = jax.lax.broadcasted_iota(jnp.int32, (8, 128, n_sym), 2)
     m0 = e512 <= (s8 - 1)[:, :, None]
     m1 = e512 <= s8[:, :, None]
     start_f = jnp.max(jnp.where(m0, rc, 0.0), axis=2)    # 0 when s == 0
@@ -598,7 +599,8 @@ def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
     if method == "auto":
         if (jax.default_backend() == "tpu" and _pallas_ok(n, k)
                 and tables.cdf512_f32.shape[0] <= PROBE_ROWS
-                and pallas_runtime_ok("dec", k // 128)):
+                and pallas_runtime_ok("dec", k // 128,
+                                      tables.cdf512_f32.shape[1])):
             method = "pallas"
         else:
             method = _default_method()
@@ -657,7 +659,7 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((cdf512_f32.shape[0], 512),
+            pl.BlockSpec(cdf512_f32.shape,
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -914,7 +916,7 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
             pl.BlockSpec((1, sub, 128),
                          lambda bb, t: (bb, s_steps - 1 - t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((cdf512_f32.shape[0], 512),
+            pl.BlockSpec(cdf512_f32.shape,
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -964,19 +966,21 @@ _PALLAS_PROBE: dict = {}
 PROBE_ROWS = 192
 
 
-def pallas_runtime_ok(kind: str, sub: int = _SUB) -> bool:
-    got = _PALLAS_PROBE.get((kind, sub))
+def pallas_runtime_ok(kind: str, sub: int = _SUB,
+                      n_sym: int = 512) -> bool:
+    got = _PALLAS_PROBE.get((kind, sub, n_sym))
     if got is None:
         k = sub * 128
         try:
             # The probe table is sized like a REAL fused table (z channels
             # + sigma bins ~ 176 rows for the flagship): VMEM compile OOMs
-            # scale with the row count, so a 1-row probe would pass while
-            # production tables fail (exactly the 16-sublane hardware OOM
-            # mode this probe exists to catch).
+            # scale with the row count AND the alphabet width, so a 1-row
+            # probe would pass while production tables fail (exactly the
+            # 16-sublane hardware OOM mode this probe exists to catch).
             n_rows = PROBE_ROWS
-            cdf = np.tile(np.arange(513, dtype=np.uint32) * (
-                PROB_SCALE // 512), (n_rows, 1))
+            cdf = np.tile(np.arange(n_sym + 1, dtype=np.uint32) * (
+                PROB_SCALE // n_sym), (n_rows, 1))
+            cdf[:, -1] = PROB_SCALE
             cdf512 = jnp.asarray(cdf[:, 1:].astype(np.float32))
             if kind == "enc":
                 out = encode_pallas_batch(
@@ -996,7 +1000,7 @@ def pallas_runtime_ok(kind: str, sub: int = _SUB) -> bool:
             warnings.warn(f"pallas {kind} kernel (K={k}) unavailable; "
                           f"using the XLA path ({type(e).__name__})")
             got = False
-        _PALLAS_PROBE[(kind, sub)] = got
+        _PALLAS_PROBE[(kind, sub, n_sym)] = got
     return got
 
 

@@ -30,7 +30,11 @@ LOG_VAR_MIN = -18.4207  # sigma > exp(0.5 * -18.4207) ~ 1e-4
 LOG_VAR_MAX = 10.0      # sigma < exp(0.5 * 10) ~ 148.4
 
 # Latent symbols live in [-AC_MAX_VAL, AC_MAX_VAL - 1]
-# (reference: src/real_life/bitstream.py:67-79)
+# (reference: src/real_life/bitstream.py:67-79).  This is the DEFAULT
+# alphabet half-width; a model may declare a narrower one via
+# ModelConfig.ac_max_val (recorded in the video header) — trained
+# latents rarely reach +-256, and every entropy-coding lookup's cost
+# scales with the alphabet width (the one-hot CDF contractions on TPU).
 AC_MAX_VAL = 256
 
 # Spatial padding multiple: g_a downsamples x16 to y, h_a a further x4 to z,
@@ -157,6 +161,13 @@ class ModelConfig:
     # (reference: src/model_mngt/loss_function.py:197-200).
     dist_loss: str = "ms_ssim"
     weight_i_frame_loss: float = 1.0
+    # Entropy-coding alphabet half-width: latent symbols are clipped to
+    # [-ac_max_val, ac_max_val - 1] at coding time.  256 mirrors the
+    # reference (src/real_life/bitstream.py:67-79); trained models whose
+    # latents stay well inside can declare a narrower power of two — CDF
+    # tables and the TPU one-hot lookups shrink proportionally.  Recorded
+    # in the video header so mismatched decode fails loudly.
+    ac_max_val: int = 256
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2) + "\n"

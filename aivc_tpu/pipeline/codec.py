@@ -34,13 +34,11 @@ import numpy as np
 from aivc_tpu.coding import bitstream as bs
 from aivc_tpu.coding import vrans
 from aivc_tpu.coding.cdf import (
-    N_SYMBOLS,
     build_laplace_table,
     build_z_table,
     sigma_to_bin_jnp,
 )
 from aivc_tpu.config import (
-    AC_MAX_VAL,
     FRAME_I,
     PAD_MULTIPLE,
     Y_DOWNSCALE,
@@ -216,26 +214,40 @@ class FrameCodec:
 
         self.model = FullNet(cfg)
 
+        # Per-model entropy-coding alphabet: symbols live in
+        # [-ac_max, ac_max - 1] and every CDF row is 2*ac_max wide.  256
+        # mirrors the reference; narrower trained alphabets shrink the
+        # one-hot CDF contractions (the TPU lookup cost) proportionally.
+        self.ac_max = int(getattr(cfg, "ac_max_val", 256) or 256)
+        if self.ac_max & (self.ac_max - 1) or not 16 <= self.ac_max <= 256:
+            raise ValueError(
+                f"ac_max_val must be a power of two in [16, 256], "
+                f"got {self.ac_max}")
+        self.n_symbols = 2 * self.ac_max
+
         # Integer CDF tables, built once per model load (the analogue of
         # reference _precompute_z_cdf, bitstream.py:82-125).
         from aivc_tpu.ops.entropy_models import FactorizedPrior
 
-        self.laplace_rows = build_laplace_table()
+        self.laplace_rows = build_laplace_table(ac_max=self.ac_max)
         self.z_rows = {}
         # Device-backend tables at the vrans scale (2^16): one FUSED row
         # space [mofnet-z channels | codecnet-z channels | y sigma bins]
         # so a whole frame's latents ride ONE interleaved rANS stream
         # (per-frame overhead = one K-state flush instead of four).
-        lap14 = build_laplace_table(scale=vrans.PROB_SCALE)
+        lap14 = build_laplace_table(scale=vrans.PROB_SCALE,
+                                    ac_max=self.ac_max)
         z14 = {}
         for which in ("mofnet", "codecnet"):
             net_cfg = cfg.mofnet if which == "mofnet" else cfg.codecnet
             prior = FactorizedPrior(net_cfg.nb_ft_z)
             prior_params = {"params": params["params"][
                 "mofnet" if which == "mofnet" else "codecnet"]["pdf_z"]}
-            self.z_rows[which] = build_z_table(prior, prior_params)
+            self.z_rows[which] = build_z_table(prior, prior_params,
+                                               ac_max=self.ac_max)
             z14[which] = build_z_table(prior, prior_params,
-                                       scale=vrans.PROB_SCALE)
+                                       scale=vrans.PROB_SCALE,
+                                       ac_max=self.ac_max)
         fused14 = np.concatenate(
             [z14["mofnet"], z14["codecnet"], lap14], axis=0)
         self._fused14 = fused14
@@ -329,6 +341,9 @@ class FrameCodec:
     # ------------------------------------------------------------------
     def _build_stage_fns(self):
         model = self.model
+        # Plain Python ints (NOT jnp scalars — see coding/vrans.py note).
+        ACV = self.ac_max
+        NSYM = self.n_symbols
 
         def apply(method, *args, **kw):
             return model.apply(self.params, *args, method=method, **kw)
@@ -384,13 +399,18 @@ class FrameCodec:
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def mof_analyze(params, frame, prev, nxt, idx_rate, ftype):
-            return model.apply(params, frame, prev, nxt, idx_rate, ftype,
-                               method=FullNet.mof_analyze)
+            y, z_q = model.apply(params, frame, prev, nxt, idx_rate, ftype,
+                                 method=FullNet.mof_analyze)
+            # Clamp z to the CODING alphabet (the model clips at the
+            # default +-256; a narrower ac_max must clamp here so the
+            # encoder's hyper stage sees exactly the decoded values).
+            return y, jnp.clip(z_q, -ACV, ACV - 1)
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def cod_analyze(params, frame, pred, idx_rate, ftype):
-            return model.apply(params, frame, pred, idx_rate, ftype,
-                               method=FullNet.cod_analyze)
+            y, z_q = model.apply(params, frame, pred, idx_rate, ftype,
+                                 method=FullNet.cod_analyze)
+            return y, jnp.clip(z_q, -ACV, ACV - 1)
 
         @jax.jit
         def mof_hyper(params, z_q):
@@ -408,7 +428,7 @@ class FrameCodec:
             int8 one (half the tunnel transfer) is valid whenever every
             value fits [-128, 127], which is nearly always for trained
             models; the host checks the 1-byte flag and pulls only one."""
-            q = jnp.clip(jnp.round(y - mu), -AC_MAX_VAL, AC_MAX_VAL - 1)
+            q = jnp.clip(jnp.round(y - mu), -ACV, ACV - 1)
             q16 = q.astype(jnp.int16)
             fits8 = jnp.all(jnp.abs(q) <= 127).astype(jnp.uint8)
             return q16, q.astype(jnp.int8), fits8
@@ -420,7 +440,7 @@ class FrameCodec:
             jit outputs are always materialized, so they must not be
             outputs at all.  Returns the same (q16, ...) tuple shape with
             None placeholders (callers index [0])."""
-            q = jnp.clip(jnp.round(y - mu), -AC_MAX_VAL, AC_MAX_VAL - 1)
+            q = jnp.clip(jnp.round(y - mu), -ACV, ACV - 1)
             return (q.astype(jnp.int16),)
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
@@ -470,7 +490,7 @@ class FrameCodec:
         def _z_seg(zq, fam, k):
             B, H, W, C = zq.shape
             n = H * W * C
-            sym = (zq.astype(jnp.int32) + AC_MAX_VAL).reshape(B, n)
+            sym = (zq.astype(jnp.int32) + ACV).reshape(B, n)
             rows = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32) + OFF[fam],
                 (H, W, C)).reshape(1, n)
@@ -479,7 +499,7 @@ class FrameCodec:
 
         def _y_seg(q16, bins, k):
             B = q16.shape[0]
-            sym = (q16.astype(jnp.int32) + AC_MAX_VAL).reshape(B, -1)
+            sym = (q16.astype(jnp.int32) + ACV).reshape(B, -1)
             rows = bins.astype(jnp.int32).reshape(B, -1) + OFF["y"]
             return _pad_seg(sym, rows, k, PAD["y"], OFF["y"])
 
@@ -489,7 +509,7 @@ class FrameCodec:
             n = sym.shape[1]
             segs = tuple(p[0].shape[1] // k for p in parts)
             return jax.vmap(lambda s, r: vrans.encode_impl(
-                s, r, tables, n=n, k=k, n_sym=N_SYMBOLS,
+                s, r, tables, n=n, k=k, n_sym=NSYM,
                 pad_sym=PAD["z_c"], segment_steps=segs))(sym, rows)
 
         @functools.partial(jax.jit, static_argnames=("k",))
@@ -552,7 +572,7 @@ class FrameCodec:
                 return_carry=True)
             # float32, matching the encoder's z_q dtype so hyper-synthesis
             # is the same compiled program on both sides.
-            z = (syms[:, :nraw] - AC_MAX_VAL).astype(jnp.float32).reshape(
+            z = (syms[:, :nraw] - ACV).astype(jnp.float32).reshape(
                 (B,) + shape)
             return z, st, g
 
@@ -567,7 +587,7 @@ class FrameCodec:
                 words, states, rows, tables, n=n, k=k, g0=g0,
                 return_carry=True)
             # int16, matching the encoder's q16 so synthesis is shared.
-            y = (syms[:, :nraw] - AC_MAX_VAL).astype(jnp.int16).reshape(
+            y = (syms[:, :nraw] - ACV).astype(jnp.int16).reshape(
                 (B,) + shape)
             return y, st, g
 
@@ -616,7 +636,7 @@ class FrameCodec:
             B, H, W, C = q16.shape
             hw = H * W
             sym = _gather_ch(q16, idx, bucket).reshape(B, bucket * hw) \
-                + AC_MAX_VAL
+                + ACV
             rows = _gather_ch(bins, idx, bucket).reshape(B, bucket * hw) \
                 + OFF["y"]
             pos_ch = jnp.arange(bucket * hw, dtype=jnp.int32) // hw
@@ -688,7 +708,7 @@ class FrameCodec:
             syms, st, g = vrans.decode_batch(
                 words, states, rows, tables, n=n, k=k, g0=g0,
                 return_carry=True)
-            yk = (syms[:, :bucket * hw] - AC_MAX_VAL).astype(jnp.float32)
+            yk = (syms[:, :bucket * hw] - ACV).astype(jnp.float32)
             yk = jnp.where(valid, yk, 0.0).reshape(B, bucket, hw)
             # dense[c] = sum_j onehot(idx_j == c) * yk_j ; padded slots
             # are zeroed above so a padded idx of 0 contributes nothing.
@@ -746,7 +766,7 @@ class FrameCodec:
 
         def _z_abits(zq, fam):
             B, H, W, C = zq.shape
-            sym = (zq.astype(jnp.int32) + AC_MAX_VAL).reshape(B, -1)
+            sym = (zq.astype(jnp.int32) + ACV).reshape(B, -1)
             rows = jnp.broadcast_to(
                 jnp.arange(C, dtype=jnp.int32) + OFF_A[fam],
                 (H, W, C)).reshape(1, -1)
@@ -758,7 +778,7 @@ class FrameCodec:
             # Zero feature maps are elided by both backends; they cost
             # nothing in the real stream, so exclude them here too.
             mask = (jnp.abs(y).sum(axis=(1, 2)) != 0).astype(jnp.float32)
-            sym = (y.astype(jnp.int32) + AC_MAX_VAL).reshape(B, -1)
+            sym = (y.astype(jnp.int32) + ACV).reshape(B, -1)
             rows = bins.astype(jnp.int32).reshape(B, -1) + OFF_A["y"]
             w = jnp.broadcast_to(mask[:, None, None, :],
                                  (B, H, W, C)).reshape(B, -1)
@@ -825,7 +845,7 @@ class FrameCodec:
 
             H, W, C = z_np.shape
             rows = np.broadcast_to(np.arange(C, dtype=np.int32), (H, W, C))
-            est = expected_bits((z_np + AC_MAX_VAL).astype(np.int64),
+            est = expected_bits((z_np + self.ac_max).astype(np.int64),
                                 rows, self.z_rows[which]) / 8.0
             back = bs.decode_z_chunk(chunk, z_np.shape, self.z_rows[which])
             lossless = np.array_equal(back, z_np)
@@ -844,7 +864,7 @@ class FrameCodec:
 
             nz = np.where(np.abs(y_np).sum(axis=(0, 1)) != 0)[0]
             est = (expected_bits(
-                (y_np[:, :, nz] + AC_MAX_VAL).astype(np.int64),
+                (y_np[:, :, nz] + self.ac_max).astype(np.int64),
                 bins_np[:, :, nz], self.laplace_rows) / 8.0
                 if len(nz) else 0.0)
             back = bs.decode_y_chunk(chunk, y_np.shape, bins_np,
@@ -1088,7 +1108,8 @@ class FrameCodec:
             return True
         return (jax.default_backend() == "tpu"
                 and self._fused14.shape[0] <= vrans.PROBE_ROWS
-                and vrans.pallas_runtime_ok("enc", k // 128))
+                and vrans.pallas_runtime_ok("enc", k // 128,
+                                            self.n_symbols))
 
     def _fused_rows_np(self, handles, i: int):
         """Host-side reconstruction of frame i's fused (symbols, rows) —
@@ -1104,15 +1125,17 @@ class FrameCodec:
             rows.append(np.concatenate(
                 [r, np.full(pad, pad_row, np.int64)]))
 
+        ACV = self.ac_max
+
         def add_z(zq, fam):
-            v = zq.reshape(-1).astype(np.int64) + AC_MAX_VAL
+            v = zq.reshape(-1).astype(np.int64) + ACV
             r = np.broadcast_to(
                 np.arange(zq.shape[-1], dtype=np.int64) + OFF[fam],
                 zq.shape).reshape(-1)
             pad_to(v, r, PAD[fam], OFF[fam])
 
         def add_y(y, b):
-            v = y.reshape(-1).astype(np.int64) + AC_MAX_VAL
+            v = y.reshape(-1).astype(np.int64) + ACV
             r = b.reshape(-1).astype(np.int64) + OFF["y"]
             pad_to(v, r, PAD["y"], OFF["y"])
 
@@ -1127,7 +1150,7 @@ class FrameCodec:
             r = np.full(bucket * hw, OFF["y"], np.int64)
             for j in range(int(nk_i)):
                 c = int(idx_i[j])
-                v[j * hw:(j + 1) * hw] = yt[c].astype(np.int64) + AC_MAX_VAL
+                v[j * hw:(j + 1) * hw] = yt[c].astype(np.int64) + ACV
                 r[j * hw:(j + 1) * hw] = bt[c].astype(np.int64) + OFF["y"]
             pad_to(v, r, PAD["y"], OFF["y"])
 
@@ -1539,4 +1562,5 @@ class FrameCodec:
             idx_first_frame=idx_first, idx_last_frame=idx_last,
             backend=(bs.BACKEND_DEVICE if self.backend == "device"
                      else bs.BACKEND_HOST),
-            wave_batch=max(1, wave_batch))
+            wave_batch=max(1, wave_batch),
+            ac_log2=self.ac_max.bit_length() - 1)

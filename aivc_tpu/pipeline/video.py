@@ -346,6 +346,11 @@ def decode_video(codec: FrameCodec, data: bytes,
     cross-check — a mismatch with the header raises, because decoding with
     a different grouping would silently drift (see wave_groups)."""
     header, gop_chunks = bs.unpack_video(data)
+    if (1 << header.ac_log2) != codec.ac_max:
+        raise ValueError(
+            f"bitstream was encoded with alphabet +-{1 << header.ac_log2} "
+            f"but this model declares ac_max_val={codec.ac_max}; decoding "
+            "with mismatched CDF tables would produce garbage latents")
     if wave_batch is None:
         wave_batch = header.wave_batch
     elif wave_batch != header.wave_batch:
@@ -389,38 +394,52 @@ def decode_video(codec: FrameCodec, data: bytes,
             if k <= header.idx_last_frame}
 
 
+_MSSSIM_BATCH = None  # cached jit: one compile per plane geometry
+
+
 def evaluate_frames(orig: Sequence[Dict[str, np.ndarray]],
                     decoded: Dict[int, DecodedFrame]) -> Dict[str, float]:
     """PSNR / MS-SSIM between original and decoded uint8 YUV420 frames,
     pixel-count weighted over planes (reference: src/evaluate.py:62-78,
-    src/clic21/metrics.py:30-55)."""
+    src/clic21/metrics.py:30-55).
+
+    MS-SSIM runs as ONE vmapped jit call per plane type (y, u, v) over
+    all frames, and the jitted function is cached at module scope —
+    per-frame per-plane dispatch used to re-trace on every
+    evaluate_frames call, which a 7-rate multi-resolution sweep paid
+    dearly for (VERDICT r2).  vmap keeps per-frame semantics: msssim
+    averages each scale before the cross-scale product, so batching
+    inside one call would compute prod-of-means instead of the
+    per-frame mean-of-prods the reference reports."""
     import jax
     import jax.numpy as jnp
 
     from aivc_tpu.ops.metrics import msssim
 
-    jit_ms = jax.jit(msssim)
+    global _MSSSIM_BATCH
+    if _MSSSIM_BATCH is None:
+        _MSSSIM_BATCH = jax.jit(jax.vmap(
+            lambda a, b: msssim(a[None], b[None])))
 
+    n_frames = len(orig)
     tot_se = 0.0
     tot_n = 0
-    ms_acc = 0.0
-    for i, frame in enumerate(orig):
-        dec = decoded[i]
-        frame_ms = 0.0
-        frame_n = 0
-        for k in ("y", "u", "v"):
-            a = frame[k].astype(np.float64) / 255.0
-            b = dec[k].astype(np.float64) / 255.0
-            tot_se += ((a - b) ** 2).sum()
-            tot_n += a.size
-            ms = float(jit_ms(
-                jnp.asarray(a, jnp.float32)[None, :, :, None],
-                jnp.asarray(b, jnp.float32)[None, :, :, None]))
-            frame_ms += ms * a.size
-            frame_n += a.size
-        ms_acc += frame_ms / frame_n
+    ms_num = 0.0
+    ms_den = 0
+    for k in ("y", "u", "v"):
+        a = np.stack([f[k] for f in orig]).astype(np.float64) / 255.0
+        b = np.stack([decoded[i][k] for i in range(n_frames)]
+                     ).astype(np.float64) / 255.0
+        tot_se += ((a - b) ** 2).sum()
+        tot_n += a.size
+        ms_k = np.asarray(_MSSSIM_BATCH(
+            jnp.asarray(a, jnp.float32)[..., None],
+            jnp.asarray(b, jnp.float32)[..., None]))       # [N] per frame
+        plane_px = a[0].size
+        ms_num += ms_k.mean() * plane_px
+        ms_den += plane_px
     mse = tot_se / tot_n
-    ms_mean = ms_acc / len(orig)
+    ms_mean = ms_num / ms_den
     return {
         "psnr": 10.0 * np.log10(1.0 / max(mse, 1e-12)),
         "ms_ssim": ms_mean,

@@ -93,8 +93,13 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
         # forward blew up numerically even though the result is finite
         # (MS-SSIM > 1 from ~1e8 activations was observed in round 2),
         # so treat it like a non-finite step and skip.
+        # psnr <= -20 dB means the reconstruction magnitudes are ~1e1+
+        # off scale: the forward exploded even though loss stayed finite
+        # and positive (observed round 3: loss ~5 with psnr -60..-112
+        # compounding through the GOP reference chain for 1000+ steps).
+        # Updates computed from an exploded forward are poison — skip.
         ok = (jnp.isfinite(gnorm) & jnp.isfinite(loss)
-              & (loss >= -1e-3))
+              & (loss >= -1e-3) & (logs["psnr"] > -20.0))
         new_updates, new_opt_state = optimizer.update(grads, opt_state,
                                                       params)
         new_params = optax.apply_updates(params, new_updates)

@@ -376,6 +376,19 @@ def main():
 
     futs = deque(ex.submit(gen, w) for w in range(workers))
     t0 = time.time()
+    # Divergence containment (round 3: a run drifted from psnr 20 to
+    # -112 dB over ~1000 steps with finite positive loss, and the
+    # periodic saves captured the diverged params).  Host-side window
+    # over recent psnr: checkpoints only save while healthy, and a
+    # sustained collapse aborts with rc 3 so the supervisor rolls back
+    # to the last GOOD checkpoint with a fresh data stream.
+    recent = deque(maxlen=15)
+
+    def healthy():
+        return (not recent
+                or sum(recent) / len(recent) > 4.0
+                or len(recent) < recent.maxlen)
+
     for step in range(args.step0, args.steps):
         frames_np, idx_rate = futs.popleft().result()
         futs.append(ex.submit(gen, step % workers))
@@ -383,6 +396,7 @@ def main():
         rng, rng_s = jax.random.split(rng)
         params, opt_state, logs = step_fn(params, opt_state, frames,
                                           idx_rate, rng_s)
+        recent.append(float(logs["psnr"]))
         if step % args.log_every == 0 or step == args.steps - 1:
             print(f"step {step:5d}  rate_idx {idx_rate}  "
                   f"loss {float(logs['loss']):.4f}  "
@@ -390,6 +404,12 @@ def main():
                   f"bpp {float(logs['rate_bpp']):.4f}  "
                   f"gnorm {float(logs['grad_norm']):.2f}  "
                   f"({(time.time() - t0):.0f}s)", flush=True)
+        if not healthy():
+            print(f"DIVERGED @ step {step}: mean psnr of last "
+                  f"{len(recent)} steps "
+                  f"{sum(recent) / len(recent):.2f} dB; aborting for "
+                  f"supervisor rollback", flush=True)
+            return 3
         if args.out and args.save_every and step and step % args.save_every == 0:
             save_checkpoint(args.out, cfg, params)
             print(f"checkpoint @ step {step} -> {args.out}", flush=True)
@@ -402,7 +422,8 @@ def main():
     if args.out:
         save_checkpoint(args.out, cfg, params)
         print(f"saved checkpoint to {args.out}")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

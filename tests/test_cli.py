@@ -78,3 +78,74 @@ def test_separate_process_encode_decode(tmp_path):
                "--model", "tpu-aivc-tiny"])
     assert ev.returncode == 0, ev.stderr[-2000:]
     assert "[RESULT] psnr" in ev.stdout
+
+
+@pytest.mark.slow
+def test_cli_stream_dir_resume_and_rate_audit(tmp_path):
+    """--stream_dir resume + --rate_audit through the CLI (VERDICT r2:
+    these flags were library-tested but a CLI arg-plumbing regression
+    would have passed the suite)."""
+    clip = tmp_path / "clip_48x64_30_420.yuv"
+    _make_clip(clip, n=13)
+    bit1 = tmp_path / "a.bin"
+    bit2 = tmp_path / "b.bin"
+    sdir = tmp_path / "chunks"
+
+    enc = _run(["-i", str(clip), "--bitstream_out", str(bit1),
+                "--mode", "encode", "--coding_config", "RA",
+                "--gop_size", "4", "--intra_period", "8",
+                "--model", "tpu-aivc-tiny", "--stream_dir", str(sdir),
+                "--rate_audit"])
+    assert enc.returncode == 0, enc.stderr[-2000:]
+
+    # --rate_audit printed a parseable overhead report
+    lines = {l.split(":")[0].strip(): l.split(":", 1)[1].strip()
+             for l in enc.stdout.splitlines() if l.startswith("[RESULT]")}
+    analytic = float(lines["[RESULT] analytic rate bits"])
+    real = float(lines["[RESULT] real rate bits"])
+    over = float(lines["[RESULT] container overhead"].rstrip(" %"))
+    assert analytic > 0 and real > 0
+    assert abs(over - 100.0 * (real - analytic) / analytic) < 0.1
+
+    # chunks were written; record their mtimes
+    chunks = sorted(sdir.glob("gop_*.bin"))
+    # One chunk per intra period: frames 0-8 (I + 2x4), then the tail
+    assert len(chunks) == 2
+    mtimes = {c.name: c.stat().st_mtime_ns for c in chunks}
+
+    # resume: rerun with the same stream_dir -> identical bitstream,
+    # chunks untouched (re-encode skipped)
+    enc2 = _run(["-i", str(clip), "--bitstream_out", str(bit2),
+                 "--mode", "encode", "--coding_config", "RA",
+                 "--gop_size", "4", "--intra_period", "8",
+                 "--model", "tpu-aivc-tiny", "--stream_dir", str(sdir)])
+    assert enc2.returncode == 0, enc2.stderr[-2000:]
+    assert bit1.read_bytes() == bit2.read_bytes()
+    assert {c.name: c.stat().st_mtime_ns
+            for c in sorted(sdir.glob("gop_*.bin"))} == mtimes
+
+    # mismatched settings must refuse, not silently mix chunks
+    enc3 = _run(["-i", str(clip), "--bitstream_out", str(bit2),
+                 "--mode", "encode", "--coding_config", "RA",
+                 "--gop_size", "2", "--intra_period", "8",
+                 "--model", "tpu-aivc-tiny", "--stream_dir", str(sdir)])
+    assert enc3.returncode != 0
+    assert "different encode" in (enc3.stderr + enc3.stdout)
+
+
+@pytest.mark.slow
+def test_cli_rate_priority_shrinks_bitstream(tmp_path):
+    """--rate_priority must plumb through to a no-larger bitstream."""
+    clip = tmp_path / "clip_48x64_30_420.yuv"
+    _make_clip(clip, n=5)
+    base = tmp_path / "base.bin"
+    prio = tmp_path / "prio.bin"
+    a = _run(["-i", str(clip), "--bitstream_out", str(base),
+              "--mode", "encode", "--gop_size", "4", "--intra_period", "4",
+              "--model", "tpu-aivc-tiny"])
+    assert a.returncode == 0, a.stderr[-2000:]
+    b = _run(["-i", str(clip), "--bitstream_out", str(prio),
+              "--mode", "encode", "--gop_size", "4", "--intra_period", "4",
+              "--model", "tpu-aivc-tiny", "--rate_priority"])
+    assert b.returncode == 0, b.stderr[-2000:]
+    assert prio.stat().st_size <= base.stat().st_size
