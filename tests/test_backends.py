@@ -90,6 +90,7 @@ def test_wave_batched_device_backend(codec_dev):
     _assert_bit_exact(res, dec)
 
 
+@pytest.mark.slow
 def test_pallas_encode_path_bitstream_identical(params, monkeypatch):
     """The Pallas fused-encode route (interpret mode on CPU) must produce a
     byte-identical video bitstream to the XLA scan route, through the full
@@ -115,6 +116,7 @@ def test_pallas_encode_path_bitstream_identical(params, monkeypatch):
     _assert_bit_exact(res_a, dec)
 
 
+@pytest.mark.slow
 def test_elided_v2_stream_smaller_and_bit_exact(monkeypatch, tmp_path):
     """The v2 fused format (zero feature maps elided on device) must (a)
     decode bit-exactly, (b) shrink the bitstream on a trained model whose
@@ -192,6 +194,7 @@ def test_elided_v2_stream_smaller_and_bit_exact(monkeypatch, tmp_path):
                                           res_dense.decoded_frames[i][k])
 
 
+@pytest.mark.slow
 def test_elided_bucket_zero_black_clip():
     """Fully-zero y latents (flat black input on a trained model) take
     the bucket-0 path: NO y segments in the stream, decoder reconstructs

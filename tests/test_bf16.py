@@ -11,6 +11,7 @@ from aivc_tpu.pipeline.video import decode_video, encode_video
 from tests.test_e2e import H, W, _synthetic_frames
 
 
+@pytest.mark.slow
 def test_bf16_roundtrip_bit_exact():
     cfg, _ = get_model("tpu-aivc-tiny-bf16")
     _, params = init_fullnet(cfg, spatial=64)
@@ -27,6 +28,7 @@ def test_bf16_roundtrip_bit_exact():
                 err_msg=f"bf16 drift at frame {idx} plane {k}")
 
 
+@pytest.mark.slow
 def test_bf16_latents_are_float32():
     import jax
     import jax.numpy as jnp

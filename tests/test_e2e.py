@@ -124,6 +124,7 @@ def test_truncated_bitstream_raises(codec):
         decode_video(codec, res.bitstream[: len(res.bitstream) // 2])
 
 
+@pytest.mark.slow
 def test_odd_dimensions_roundtrip():
     """Odd H/W (odd UV sizes, reference: decode.py:556-571,
     header.py:119-124): pad-to-64 + header-carried true size must
@@ -152,6 +153,7 @@ def test_odd_dimensions_roundtrip():
     assert dec[0]["u"].shape == ((h + 1) // 2, (w + 1) // 2)
 
 
+@pytest.mark.slow
 def test_rate_priority_policy_and_roundtrip(codec):
     """Rate-priority K policy: smaller stream counts (smaller state
     flush) than the default, same bit-exact closed loop — the decoder

@@ -23,6 +23,7 @@ def test_yuv_geometry_parsing(tmp_path):
     assert f["u"].shape == (9, 16)
 
 
+@pytest.mark.slow
 def test_loss_excludes_padded_frame_distortion():
     """Padded frames contribute rate but not distortion
     (reference: loss_function.py:292-311)."""

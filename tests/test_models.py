@@ -80,6 +80,7 @@ def test_p_frame_latents_are_integers_eval(model_and_params):
         assert np.abs(y).max() <= 256 and np.abs(z).max() <= 256
 
 
+@pytest.mark.slow
 def test_train_step_decreases_nothing_nan():
     model, params = init_fullnet(TINY, spatial=64)
     gop = generate_gop_struct("1_GOP_2")
@@ -97,6 +98,7 @@ def test_train_step_decreases_nothing_nan():
     assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
 
 
+@pytest.mark.slow
 def test_train_step_non_multiple_of_z_downscale():
     """Crop-to-y-grid regression: training sizes that are not multiples of
     the z downscale (64) overshoot the hyper-decoder output (the reference
@@ -113,6 +115,7 @@ def test_train_step_non_multiple_of_z_downscale():
     assert np.isfinite(float(logs["loss"]))
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path, model_and_params):
     from aivc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
@@ -125,6 +128,7 @@ def test_checkpoint_roundtrip(tmp_path, model_and_params):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_mixture_ec_mode_roundtrip_bit_exact():
     """A K=2 mixture config (ec_mode 'two') codes end-to-end: the
     hyper-synthesis carries (3K-1)*C channels, coding consumes component
@@ -154,6 +158,7 @@ def test_mixture_ec_mode_roundtrip_bit_exact():
                                           res.decoded_frames[idx][k])
 
 
+@pytest.mark.slow
 def test_mixture_train_step_finite():
     """RD training runs with the mixture rate model in the loss."""
     from dataclasses import replace

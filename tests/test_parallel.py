@@ -36,6 +36,7 @@ def test_sharded_warp_matches_single_device():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_runs():
     import importlib.util
     from pathlib import Path
@@ -47,6 +48,7 @@ def test_dryrun_multichip_runs():
     mod.dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_sharded_codec_matches_unsharded_bit_exact():
     """Spatially-sharded FrameCodec (GSPMD halo exchange) must produce the
     same bitstream and frames as the single-device codec."""
@@ -80,6 +82,7 @@ def test_sharded_codec_matches_unsharded_bit_exact():
                 err_msg=f"sharded decode drift frame {idx} {k}")
 
 
+@pytest.mark.slow
 def test_combined_data_spatial_mesh_bit_exact():
     """Wave batches laid over a combined ('data' x 'spatial') mesh —
     batch over data, rows over spatial — stay bit-exact with the

@@ -21,6 +21,7 @@ def codec():
 CFG = CodingConfig(coding_config="RA", gop_size=4, intra_period=4)
 
 
+@pytest.mark.slow
 def test_stream_dir_chunks_and_identical_bitstream(tmp_path, codec):
     frames = _synthetic_frames(9)  # 2 GOPs of 5 frames (last one padded)
     plain = encode_video(codec, frames, CFG, wave_batch=2)
@@ -72,6 +73,7 @@ def test_resume_refuses_mismatched_settings(tmp_path, codec):
         encode_video(codec, frames, CFG, wave_batch=1, stream_dir=sdir)
 
 
+@pytest.mark.slow
 def test_rate_audit_attaches_analytic_bits():
     _, params = init_fullnet(TINY, spatial=64)
     audit_codec = FrameCodec(TINY, params, H, W, audit=True)

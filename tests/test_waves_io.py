@@ -32,6 +32,7 @@ def test_wave_groups_cover_all_frames_once():
     assert [len(s) for _, s in groups] == [1, 1, 1, 2, 4, 4, 4]
 
 
+@pytest.mark.slow
 def test_wave_batched_roundtrip_bit_exact(codec):
     frames = _synthetic_frames(9)
     cfg = CodingConfig(coding_config="RA", gop_size=8, intra_period=8)
@@ -45,6 +46,7 @@ def test_wave_batched_roundtrip_bit_exact(codec):
                 err_msg=f"wave-batched drift at frame {idx} plane {k}")
 
 
+@pytest.mark.slow
 def test_wave_batch_rides_in_the_header(codec):
     """decode_video needs only the bitstream: the encoder's wave_batch is
     recorded in the video header and honoured by a FRESH codec with no
@@ -68,6 +70,7 @@ def test_wave_batch_rides_in_the_header(codec):
         decode_video(fresh, res.bitstream, wave_batch=2)
 
 
+@pytest.mark.slow
 def test_debug_mode_self_checks(capsys):
     _, params = init_fullnet(TINY, spatial=64)
     codec = FrameCodec(TINY, params, H, W, debug=True)
