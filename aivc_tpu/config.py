@@ -97,6 +97,14 @@ class ConditionalNetConfig:
     # Latents, mu/sigma and everything feeding entropy coding stay float32
     # at the module boundaries regardless.
     dtype: str = "float32"
+    # GDN multiplier clamp (0 = the reference's unclamped GDN).  Inverse
+    # GDN multiplies by ~|x| outside the O(1) regime, so a deep IGDN
+    # synthesis can amplify quadratically per stage into a runaway fixed
+    # point with dead gradients (observed ~1e33 trunk activations after
+    # training).  A clamp of 16 bounds the per-element multiplier to
+    # [1/16, 16]; healthy nets run ~0.8-1.2, so it never engages for
+    # them (ops/gdn.py:gdn_apply).
+    gdn_clamp: float = 0.0
 
     @property
     def mixture_k(self) -> int:
@@ -161,6 +169,16 @@ class ModelConfig:
     # (reference: src/model_mngt/loss_function.py:197-200).
     dist_loss: str = "ms_ssim"
     weight_i_frame_loss: float = 1.0
+    # Optical-flow bound in pixels.  0 = the reference's unbounded linear
+    # flow outputs (src/real_life/decode.py:730-739).  > 0 applies
+    # v = bound * softsign(raw / bound): |v| < bound with a gradient that
+    # NEVER vanishes — the unbounded parameterization was observed fully
+    # degenerate after training (every flow ~1e32: the border-clamped
+    # warp has zero gradient outside the frame, so flows that escape
+    # early can never return; the codec silently became intra-only).
+    # A bound also caps the warp's data window, enabling the windowed
+    # TPU warp kernel.
+    flow_bound: float = 0.0
     # Entropy-coding alphabet half-width: latent symbols are clipped to
     # [-ac_max_val, ac_max_val - 1] at coding time.  256 mirrors the
     # reference (src/real_life/bitstream.py:67-79); trained models whose

@@ -57,18 +57,20 @@ class AnalysisTransform(nn.Module):
     k_size: int = 5
     use_attention: bool = True
     dtype: str = "float32"
+    gdn_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = self.dtype
+        gdn = "gdn" if not self.gdn_clamp else f"gdn@{self.gdn_clamp}"
         x = x.astype(d)
-        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn",
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity=gdn,
                       dtype=d)(x)
-        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn",
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity=gdn,
                       dtype=d)(x)
         if self.use_attention:
             x = SimplifiedAttention(self.nb_ft, dtype=d)(x)
-        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity="gdn",
+        x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity=gdn,
                       dtype=d)(x)
         x = ConvBlock(self.out_ft, self.k_size, stride=2, non_linearity="no",
                       dtype=d)(x)
@@ -85,18 +87,21 @@ class SynthesisTransform(nn.Module):
     k_size: int = 5
     use_attention: bool = True
     dtype: str = "float32"
+    gdn_clamp: float = 0.0
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
         d = self.dtype
+        igdn = ("gdn_inverse" if not self.gdn_clamp
+                else f"gdn_inverse@{self.gdn_clamp}")
         y = y.astype(d)
-        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse",
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity=igdn,
                     dtype=d)(y)
         if self.use_attention:
             y = SimplifiedAttention(self.nb_ft, dtype=d)(y)
-        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse",
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity=igdn,
                     dtype=d)(y)
-        y = UpBlock(self.nb_ft, self.k_size, non_linearity="gdn_inverse",
+        y = UpBlock(self.nb_ft, self.k_size, non_linearity=igdn,
                     dtype=d)(y)
         y = UpBlock(self.out_ft, self.k_size, non_linearity="no", dtype=d)(y)
         return y.astype(jnp.float32)
@@ -142,14 +147,17 @@ class ConditionalNet(nn.Module):
     def setup(self):
         c = self.cfg
         d = c.dtype
+        clamp = getattr(c, "gdn_clamp", 0.0)
         self.g_a = AnalysisTransform(c.nb_ft, c.nb_ft_y, c.k_size,
-                                     c.use_attention, dtype=d)
+                                     c.use_attention, dtype=d,
+                                     gdn_clamp=clamp)
         if c.in_c_shortcut > 0:
             self.g_a_ref = AnalysisTransform(
                 c.nb_ft, c.out_c_shortcut_y, c.k_size, use_attention=False,
-                dtype=d)
+                dtype=d, gdn_clamp=clamp)
         self.g_s = SynthesisTransform(c.nb_ft, c.out_c, c.k_size,
-                                      c.use_attention, dtype=d)
+                                      c.use_attention, dtype=d,
+                                      gdn_clamp=clamp)
         self.h_a = HyperAnalysis(c.nb_ft_z, c.nb_ft_z, dtype=d)
         self.h_s = HyperSynthesis(c.nb_ft_y, c.sigma_cond_c, dtype=d)
         self.pdf_z = FactorizedPrior(c.nb_ft_z)

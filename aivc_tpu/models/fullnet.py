@@ -52,13 +52,37 @@ def _motion_comp(prev, nxt, v_prev, v_next, beta, frame_type: int):
     return motion_compensation(prev, nxt, v_prev, v_next, beta)
 
 
-def _mofnet_maps(out6: jax.Array, frame_type: int):
+def _mofnet_maps(out6: jax.Array, frame_type: int,
+                 flow_bound: float = 0.0):
     """Split MOFNet synthesis output into alpha/beta/flows
-    (reference: decode.py:730-739)."""
-    alpha = jnp.clip(out6[..., 0:1] + 0.5, 0.0, 1.0)
-    beta = jnp.clip(out6[..., 1:2] + 0.5, 0.0, 1.0)
-    v_prev = out6[..., 2:4]
-    v_next = out6[..., 4:6]
+    (reference: decode.py:730-739).
+
+    flow_bound > 0 applies v = B * softsign(raw / B): |v| stays below B
+    pixels and d v/d raw = (1 + |raw|/B)^-2 is never zero, so a flow that
+    drifts out of range can always be pulled back by the distortion
+    gradient.  The reference's raw linear flows (flow_bound = 0) were
+    observed to die irrecoverably: the border-clamped bilinear warp has
+    ZERO gradient once a flow points outside the frame, and trained
+    checkpoints ended with every flow ~1e32 — motion compensation
+    silently degraded to warped border pixels (intra-only behaviour)."""
+    if flow_bound > 0.0:
+        # Saturating-but-never-flat maps: the hard clip(x + 0.5) the
+        # reference uses for alpha/beta has zero gradient outside
+        # [-0.5, 0.5] and was observed saturated EVERYWHERE (binary
+        # masks from ~1e33 logits) — sigmoid(4x) matches its slope at 0
+        # and keeps the mask trainable.
+        alpha = jax.nn.sigmoid(4.0 * out6[..., 0:1])
+        beta = jax.nn.sigmoid(4.0 * out6[..., 1:2])
+        b = jnp.asarray(flow_bound, out6.dtype)
+        v_prev = out6[..., 2:4]
+        v_next = out6[..., 4:6]
+        v_prev = v_prev / (1.0 + jnp.abs(v_prev) / b)
+        v_next = v_next / (1.0 + jnp.abs(v_next) / b)
+    else:
+        alpha = jnp.clip(out6[..., 0:1] + 0.5, 0.0, 1.0)
+        beta = jnp.clip(out6[..., 1:2] + 0.5, 0.0, 1.0)
+        v_prev = out6[..., 2:4]
+        v_next = out6[..., 4:6]
     if frame_type == FRAME_P:
         beta = jnp.ones_like(beta)
         v_next = jnp.zeros_like(v_next)
@@ -103,7 +127,8 @@ class FullNet(nn.Module):
                         if frame_type == FRAME_B else None)
             out6, mof_lat = self.mofnet(
                 mof_in, shortcut, idx_rate, frame_type, training, rng_m)
-            alpha, beta, v_prev, v_next = _mofnet_maps(out6, frame_type)
+            alpha, beta, v_prev, v_next = _mofnet_maps(
+                out6, frame_type, self.cfg.flow_bound)
             x_warp = _motion_comp(prev, nxt, v_prev, v_next, beta, frame_type)
             skip = (1.0 - alpha) * x_warp
             pred = alpha * x_warp
@@ -156,7 +181,8 @@ class FullNet(nn.Module):
         shortcut = (jnp.concatenate([prev, nxt], axis=-1)
                     if frame_type == FRAME_B else None)
         out6 = self.mofnet.synthesize(y_cq, mu, shortcut, idx_rate, frame_type)
-        alpha, beta, v_prev, v_next = _mofnet_maps(out6, frame_type)
+        alpha, beta, v_prev, v_next = _mofnet_maps(
+            out6, frame_type, self.cfg.flow_bound)
         return alpha, beta, v_prev, v_next
 
     @staticmethod

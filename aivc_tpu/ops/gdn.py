@@ -55,8 +55,17 @@ def gdn_params_init(ch: int):
 
 
 def gdn_apply(x: jax.Array, beta_r: jax.Array, gamma_r: jax.Array,
-              inverse: bool) -> jax.Array:
-    """Apply (I)GDN to NHWC input given reparameterised beta/gamma."""
+              inverse: bool, clamp: float = 0.0) -> jax.Array:
+    """Apply (I)GDN to NHWC input given reparameterised beta/gamma.
+
+    clamp > 0 bounds the per-element multiplier to [1/clamp, clamp]:
+    inverse GDN multiplies by ~|x| once activations leave the O(1)
+    regime, so a deep IGDN stack amplifies QUADRATICALLY per stage —
+    observed in round 3 driving a synthesis trunk to ~1e33 activations
+    (every downstream gradient dead).  Healthy nets run multipliers
+    ~0.8-1.2, so a clamp of 16 never engages for them; it only removes
+    the runaway fixed point.  Gradients pass through min/max normally
+    inside the bound."""
     beta_bound = (BETA_MIN + PEDESTAL) ** 0.5
     gamma_bound = REPARAM_OFFSET
 
@@ -69,6 +78,8 @@ def gdn_apply(x: jax.Array, beta_r: jax.Array, gamma_r: jax.Array,
         preferred_element_type=jnp.float32,
     ).astype(x.dtype) + beta
     norm = jnp.sqrt(norm)
+    if clamp > 0.0:
+        norm = jnp.clip(norm, 1.0 / clamp, clamp)
     return x * norm if inverse else x / norm
 
 
@@ -77,13 +88,14 @@ class GDN(nn.Module):
 
     ch: int
     inverse: bool = False
+    clamp: float = 0.0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         beta0, gamma0 = gdn_params_init(self.ch)
         beta_r = self.param("beta", lambda _: beta0)
         gamma_r = self.param("gamma", lambda _: gamma0)
-        return gdn_apply(x, beta_r, gamma_r, self.inverse)
+        return gdn_apply(x, beta_r, gamma_r, self.inverse, self.clamp)
 
 
 # ---------------------------------------------------------------------------

@@ -29,10 +29,15 @@ def replication_pad(x: jax.Array, pad: int) -> jax.Array:
 
 
 def _nonlinearity(name: str, ch: int) -> Optional[Callable]:
+    # "gdn@16" / "gdn_inverse@16": multiplier clamp (ops/gdn.py:gdn_apply)
+    clamp = 0.0
+    if name.startswith("gdn") and "@" in name:
+        name, c = name.split("@", 1)
+        clamp = float(c)
     if name == "gdn":
-        return GDN(ch, inverse=False)
+        return GDN(ch, inverse=False, clamp=clamp)
     if name == "gdn_inverse":
-        return GDN(ch, inverse=True)
+        return GDN(ch, inverse=True, clamp=clamp)
     if name == "leaky_relu":
         return lambda x: jax.nn.leaky_relu(x, 0.01)
     if name == "relu":

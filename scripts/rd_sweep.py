@@ -34,6 +34,9 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default="", help="raw .yuv (name_WxH_fps_420.yuv)")
+    ap.add_argument("--family", default="",
+                    help="use this held-out eval_data family as the clip "
+                         "instead of the bench sinusoid (e.g. photowarp)")
     ap.add_argument("--model", default="tiny")
     ap.add_argument("--ckpt", default="", help="checkpoint dir (overrides --model)")
     ap.add_argument("--frames", type=int, default=9)
@@ -52,6 +55,10 @@ def main():
                          "(0 = sequential in-process); workers run on CPU "
                          "— a single TPU chip cannot be shared, and on a "
                          "pod each worker would pin its own chips")
+    ap.add_argument("--rate_audit", action="store_true",
+                    help="also report per-point container overhead: real "
+                         "bytes vs analytic bits under the coder's own "
+                         "CDFs (BASELINE low-rate flush audit)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -75,8 +82,10 @@ def main():
         subsets = [all_rates[i::args.procs] for i in range(args.procs)]
         base = [sys.executable, str(Path(__file__).resolve()), "--cpu",
                 "--procs", "0"]
-        for flag in ("input", "model", "ckpt", "coding_config"):
+        for flag in ("input", "model", "ckpt", "coding_config", "family"):
             base += [f"--{flag}", str(getattr(args, flag))]
+        if args.rate_audit:
+            base += ["--rate_audit"]
         for flag in ("frames", "gop_size", "intra_period", "h", "w",
                      "wave_batch"):
             base += [f"--{flag}", str(getattr(args, flag))]
@@ -120,13 +129,20 @@ def main():
         n = min(args.frames, reader.n_frames)
         frames = [reader.read_frame(i) for i in range(n)]
         h, w = reader.height, reader.width
+    elif args.family:
+        sys.path.insert(0, str(Path(__file__).resolve().parent))
+        from eval_data import heldout_clips
+
+        h, w = args.h, args.w
+        frames = heldout_clips(args.frames, h, w, names=[args.family])[0]
     else:
         h, w = args.h, args.w
         frames = synthetic_frames(args.frames, h, w)
 
     # RD sweeps favor bytes over speed: rate-priority K policy keeps the
     # per-frame rANS state flush ~1% of the payload at every ladder rate.
-    codec = FrameCodec(cfg, params, h, w, rate_priority=True)
+    codec = FrameCodec(cfg, params, h, w, rate_priority=True,
+                       audit=args.rate_audit)
     n_rates = len(cfg.lambda_tradeoff)
     rates = ([float(r) for r in args.rates.split(",")] if args.rates
              else [float(i) for i in range(n_rates)])
@@ -152,6 +168,12 @@ def main():
             "ms_ssim_db": round(float(metrics["ms_ssim_db"]), 4),
             "enc_fps": round(res.fps, 3),
         }
+        if args.rate_audit:
+            analytic = sum(fr.analytic_bits for fr in res.frame_results)
+            real = sum(fr.bytes for fr in res.frame_results) * 8.0
+            row["analytic_bits"] = round(analytic, 1)
+            row["container_overhead_pct"] = round(
+                100.0 * (real - analytic) / max(analytic, 1e-9), 3)
         points.append(row)
         print(json.dumps(row), flush=True)
 
