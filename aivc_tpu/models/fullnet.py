@@ -187,20 +187,28 @@ class FullNet(nn.Module):
 
     @staticmethod
     def motion_comp_stage(prev, nxt, alpha, beta, v_prev, v_next,
-                          frame_type: int):
+                          frame_type: int, warp_engine: str = "packed",
+                          flow_bound: int = 0):
         """Warp + blend + skip/pred split, standalone (inference pipeline).
 
-        Uses the byte-packed warp: reference frames in the coding loop are
-        always 256-level reconstructions (pipeline cast stage), so packing
-        YUV into one u32 makes the bilinear gather a single 16-byte-row
-        gather — 3.3x faster than the float corner gathers at 1080p on
-        v5e (ops/warp.py:warp_packed).  Training (forward_frame) keeps the
-        float warp for differentiability."""
+        warp_engine 'packed' (default): byte-packed single-gather warp —
+        one 16-byte-row gather per pixel (ops/warp.py:warp_packed).
+        'bounded': the windowed Pallas kernel for flow_bound models —
+        the gather is latency-bound at ~16 ns/pixel (~33 ms per 1080p
+        frame, the top encode stage in the round-3 profile), while the
+        windowed kernel runs at vector rate (ops/warp_pallas.py).
+        Training (forward_frame) keeps the float warp for
+        differentiability."""
+        from aivc_tpu.ops.warp import mc_warp
+
         if frame_type == FRAME_P:
-            x_warp = warp_packed(pack_yuv_u32(prev), v_prev)
+            x_warp = mc_warp(pack_yuv_u32(prev), v_prev, warp_engine,
+                             flow_bound)
         else:
-            pw = warp_packed(pack_yuv_u32(prev), v_prev)
-            nw = warp_packed(pack_yuv_u32(nxt), v_next)
+            pw = mc_warp(pack_yuv_u32(prev), v_prev, warp_engine,
+                         flow_bound)
+            nw = mc_warp(pack_yuv_u32(nxt), v_next, warp_engine,
+                         flow_bound)
             x_warp = beta * pw + (1.0 - beta) * nw
         x_warp = x_warp.astype(prev.dtype)
         pred = alpha * x_warp

@@ -164,6 +164,55 @@ def warp_packed(packed: jax.Array, flow: jax.Array) -> jax.Array:
     return top + (bot - top) * wy
 
 
+_BOUNDED_PROBE: dict = {}
+
+
+def warp_bounded_runtime_ok(fb: int) -> bool:
+    """One-time probe: does the windowed bounded warp kernel compile and
+    run on this backend's toolchain?  Same pattern as
+    coding/vrans.py:pallas_runtime_ok — auto mode falls back to the
+    gather-based warp_packed on ANY failure."""
+    got = _BOUNDED_PROBE.get(fb)
+    if got is None:
+        try:
+            from aivc_tpu.ops.warp_pallas import warp_bounded_pallas
+
+            import numpy as _np
+
+            pk = jnp.zeros((1, 64, 128), jnp.uint32)
+            fl = jnp.zeros((1, 64, 128, 2), jnp.float32)
+            out = warp_bounded_pallas(pk, fl, fb=fb)
+            _np.asarray(out)  # force real completion through the relay
+            got = True
+        except Exception as e:  # noqa: BLE001 — any lowering/compile error
+            import warnings
+
+            warnings.warn(f"bounded warp kernel (fb={fb}) unavailable; "
+                          f"using warp_packed ({type(e).__name__})")
+            got = False
+        _BOUNDED_PROBE[fb] = got
+    return got
+
+
+def mc_warp(packed: jax.Array, flow: jax.Array, engine: str,
+            fb: int = 0) -> jax.Array:
+    """Motion-compensation warp dispatcher (inference path).
+
+    engine 'bounded': the windowed Pallas kernel (requires bounded
+    flows, ModelConfig.flow_bound); 'packed': the single-gather XLA
+    path.  Both evaluate the same expression tree; within one process
+    encoder and decoder share the same compiled stage, so the codec's
+    closed loop is bit-exact either way (cross-PLATFORM decode is
+    approximate regardless — bf16 transforms differ more than the
+    possible 1-ulp FMA-contraction difference here).
+    """
+    if engine == "bounded":
+        from aivc_tpu.ops.warp_pallas import warp_bounded_pallas
+
+        return warp_bounded_pallas(packed, flow, fb=fb)
+    return warp_packed(packed, flow)
+
+
 def motion_compensation(
     prev: jax.Array,
     nxt: jax.Array,

@@ -160,3 +160,171 @@ def warp_pallas(x: jax.Array, flow: jax.Array,
         return jnp.stack([one_ch(xb[..., c]) for c in range(C)], axis=-1)
 
     return jax.vmap(one)(x, sx, sy)
+
+
+# ---------------------------------------------------------------------------
+# Windowed warp for BOUNDED flows (ModelConfig.flow_bound > 0)
+# ---------------------------------------------------------------------------
+# The unbounded warp must gather from anywhere in the frame, which on TPU
+# costs one latency-bound gather row per pixel (~16 ns: ~33 ms per 1080p
+# frame, the top encode stage in the round-3 profile).  With |flow| <= FB
+# both sample rows and columns live in a small window around the output
+# tile, so the gather decomposes into primitives Mosaic runs at vector
+# rate:
+#
+#   * the byte-packed u32 source plane (ops/warp.py:pack_yuv_u32) is
+#     pre-sliced into overlapping [HB + 2*MR, 384] windows (3 lane
+#     tiles: output column tiles j-1, j, j+1) — contiguous row-block
+#     copies, bandwidth-bound, NOT index-bound;
+#   * horizontal: per-lane-tile take_along_axis (within-tile dynamic
+#     gather) + selects over the 3 column tiles;
+#   * vertical: a static select-accumulate over the 2*FB + 4 possible
+#     integer row offsets; the 4 bilinear corners ride PACKED through
+#     the selects and unpack once at the end, so one kernel call warps
+#     all 3 channels.
+#
+# The result is BIT-IDENTICAL to ops/warp.py:warp_packed on the same
+# (packed, flow) inputs whenever |flow| <= FB: both evaluate the same
+# unpack + FMA expression tree in f32, and every gather index they
+# produce coincides — warp_packed is simultaneously the CPU fallback
+# and the differential test oracle (tests/test_warp_bounded.py).
+
+import jax.experimental.pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_MR = 40          # row margin: covers FB + 1 <= 39, multiple of 8
+FB_MAX = 38
+
+
+def _win_hgather(rows_off: jax.Array, xl: jax.Array) -> jax.Array:
+    """rows_off [HB, 384] (3 lane tiles), xl [HB, 128] local columns in
+    [0, 384) -> out[r, x] = rows_off[r, xl[r, x]]."""
+    out = jnp.zeros(xl.shape, rows_off.dtype)
+    tile_of = xl >> 7
+    for t in range(3):
+        tile = rows_off[:, t * LANE:(t + 1) * LANE]
+        idx = jnp.clip(xl - t * LANE, 0, LANE - 1)
+        part = jnp.take_along_axis(tile, idx, axis=1)
+        out = jnp.where(tile_of == t, part, out)
+    return out
+
+
+def _warp_bounded_kernel(hb, fb, w_img, src_ref, sx_ref, sy_ref, out_ref):
+    sx = sx_ref[0]                                   # [HB, 128] global f32
+    sy = sy_ref[0]
+    x0f = jnp.floor(sx)
+    y0f = jnp.floor(sy)
+    wx = sx - x0f
+    wy = sy - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+    x1_in = x0 + 1 < w_img                           # x1 border clamp
+    j = pl.program_id(2)
+    xl0 = x0 - (j * LANE - LANE)                     # local in [0, 384)
+    rloc = jax.lax.broadcasted_iota(jnp.int32, (hb, LANE), 0)
+    i = pl.program_id(1)
+    d = y0 - (i * hb + rloc)                         # in [-(fb+1), fb+1]
+
+    win = src_ref[0, 0, 0]                           # [HB + 2*MR, 384]
+    top0 = jnp.zeros((hb, LANE), jnp.int32)
+    top1 = jnp.zeros((hb, LANE), jnp.int32)
+    bot0 = jnp.zeros((hb, LANE), jnp.int32)
+    bot1 = jnp.zeros((hb, LANE), jnp.int32)
+    for o in range(-(fb + 1), fb + 3):
+        rows_off = win[_MR + o:_MR + o + hb, :].astype(jnp.int32)
+        h0 = _win_hgather(rows_off, xl0)
+        h1 = _win_hgather(rows_off, jnp.minimum(xl0 + 1, 383))
+        h1 = jnp.where(x1_in, h1, h0)
+        sel_t = d == o
+        sel_b = d == (o - 1)                         # bottom row y0 + 1;
+        # at the image bottom the window's edge padding already holds the
+        # replicated last row, so no extra clamp is needed.
+        top0 = jnp.where(sel_t, h0, top0)
+        top1 = jnp.where(sel_t, h1, top1)
+        bot0 = jnp.where(sel_b, h0, bot0)
+        bot1 = jnp.where(sel_b, h1, bot1)
+
+    outs = []
+    for ch in range(3):
+        sh = 8 * ch
+        v00 = ((top0 >> sh) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        v01 = ((top1 >> sh) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        v10 = ((bot0 >> sh) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        v11 = ((bot1 >> sh) & 0xFF).astype(jnp.float32) * (1.0 / 255.0)
+        top = v00 + (v01 - v00) * wx
+        bot = v10 + (v11 - v10) * wx
+        outs.append(top + (bot - top) * wy)
+    out_ref[0] = jnp.stack(outs, axis=-1)
+
+
+def _windows(src: jax.Array, hb: int) -> jax.Array:
+    """Padded plane [B, H + 2*MR, Wp + 256] -> overlapping window tensor
+    [B, n_i, n_j, hb + 2*MR, 384].  Built from whole-row-block slices:
+    contiguous copies at HBM bandwidth (~1 ms per 1080p 8-frame wave),
+    NOT per-element gathers."""
+    B, Hp, Wp2 = src.shape
+    H = Hp - 2 * _MR
+    n_i = H // hb
+    n_j = (Wp2 - 2 * LANE) // LANE
+    rows = []
+    for i in range(n_i):
+        cols = []
+        for jj in range(n_j):
+            cols.append(src[:, i * hb:i * hb + hb + 2 * _MR,
+                            jj * LANE:jj * LANE + 3 * LANE])
+        rows.append(jnp.stack(cols, axis=1))
+    return jnp.stack(rows, axis=1)
+
+
+@functools.partial(jax.jit, static_argnames=("fb", "interpret"))
+def warp_bounded_pallas(packed: jax.Array, flow: jax.Array, fb: int,
+                        interpret: bool = False) -> jax.Array:
+    """Windowed bounded-flow warp.  packed: u32 [B, H, W] (pack_yuv_u32);
+    flow: f32 [B, H, W, 2] with |flow| <= fb (callers produce bounded
+    flows via ModelConfig.flow_bound); returns f32 [B, H, W, 3] in [0,1].
+
+    Requires fb <= FB_MAX and H a multiple of 8; W is padded to a
+    multiple of 128 internally.  Bit-identical to warp_packed.
+    """
+    if fb > FB_MAX:
+        raise ValueError(f"flow bound {fb} > {FB_MAX}")
+    B, H, W = packed.shape
+    if H % 8:
+        raise ValueError("H must be a multiple of 8")
+    hb = 64 if H % 64 == 0 else 32 if H % 32 == 0 else 8
+    wpad = (-W) % LANE
+    Wp = W + wpad
+
+    yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
+    xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
+    sx = jnp.clip(xx[None] + flow[..., 0].astype(jnp.float32), 0.0, W - 1)
+    sy = jnp.clip(yy[None] + flow[..., 1].astype(jnp.float32), 0.0, H - 1)
+    if wpad:
+        packed = jnp.pad(packed, ((0, 0), (0, 0), (0, wpad)), mode="edge")
+        sx = jnp.pad(sx, ((0, 0), (0, 0), (0, wpad)), mode="edge")
+        sy = jnp.pad(sy, ((0, 0), (0, 0), (0, wpad)), mode="edge")
+
+    src = jnp.pad(packed, ((0, 0), (_MR, _MR), (LANE, LANE)), mode="edge")
+    wins = _windows(src, hb)
+
+    grid = (B, H // hb, Wp // LANE)
+    wr = hb + 2 * _MR
+    out = pl.pallas_call(
+        functools.partial(_warp_bounded_kernel, hb, fb, W),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, 1, wr, 3 * LANE),
+                         lambda b, i, j: (b, i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, LANE), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hb, LANE), lambda b, i, j: (b, i, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, hb, LANE, 3),
+                               lambda b, i, j: (b, i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, H, Wp, 3), jnp.float32),
+        interpret=interpret,
+    )(wins, sx, sy)
+    return out[:, :, :W, :]

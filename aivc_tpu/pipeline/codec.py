@@ -49,6 +49,13 @@ from aivc_tpu.models.fullnet import FullNet
 from aivc_tpu.ops.layers import x444_to_yuv420, yuv420_to_444
 
 
+def _os_env_warp() -> str:
+    """AIVC_WARP_ENGINE=packed forces the gather warp (tuning/tests)."""
+    import os
+
+    return os.environ.get("AIVC_WARP_ENGINE", "auto")
+
+
 def pad_to_multiple(x: np.ndarray, mult: int) -> np.ndarray:
     """Edge-pad H, W (axes 1, 2) of an NHWC array up to a multiple."""
     H, W = x.shape[1], x.shape[2]
@@ -213,6 +220,24 @@ class FrameCodec:
         }
 
         self.model = FullNet(cfg)
+
+        # Motion-warp engine: flow_bound models route through the
+        # windowed Pallas kernel on TPU (probe-gated with warp_packed
+        # fallback); everything else uses the single-gather packed warp.
+        import math as _math
+
+        self._flow_bound_i = int(_math.ceil(getattr(cfg, "flow_bound", 0.0)
+                                            or 0.0))
+        self.warp_engine = "packed"
+        if self._flow_bound_i > 0:
+            from aivc_tpu.ops.warp import warp_bounded_runtime_ok
+            from aivc_tpu.ops.warp_pallas import FB_MAX
+
+            if (jax.default_backend() == "tpu"
+                    and self._flow_bound_i <= FB_MAX
+                    and _os_env_warp() != "packed"
+                    and warp_bounded_runtime_ok(self._flow_bound_i)):
+                self.warp_engine = "bounded"
 
         # Per-model entropy-coding alphabet: symbols live in
         # [-ac_max, ac_max - 1] and every CDF row is 2*ac_max wide.  256
@@ -449,10 +474,15 @@ class FrameCodec:
                                nxt, idx_rate, ftype,
                                method=FullNet.mofnet_synth_maps)
 
+        WENG = self.warp_engine
+        WFB = self._flow_bound_i
+
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def motion_comp(prev, nxt, alpha, beta, v_prev, v_next, ftype):
             return FullNet.motion_comp_stage(prev, nxt, alpha, beta,
-                                             v_prev, v_next, ftype)
+                                             v_prev, v_next, ftype,
+                                             warp_engine=WENG,
+                                             flow_bound=WFB)
 
         def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
             """Two-program split: synthesis maps, then the warp (see
