@@ -221,28 +221,45 @@ def _warp_bounded_kernel(hb, fb, w_img, src_ref, sx_ref, sy_ref, out_ref):
     x1_in = x0 + 1 < w_img                           # x1 border clamp
     j = pl.program_id(2)
     xl0 = x0 - (j * LANE - LANE)                     # local in [0, 384)
+    xl1 = jnp.minimum(xl0 + 1, 383)
     rloc = jax.lax.broadcasted_iota(jnp.int32, (hb, LANE), 0)
     i = pl.program_id(1)
     d = y0 - (i * hb + rloc)                         # in [-(fb+1), fb+1]
 
-    win = src_ref[0, 0, 0]                           # [HB + 2*MR, 384]
-    top0 = jnp.zeros((hb, LANE), jnp.int32)
-    top1 = jnp.zeros((hb, LANE), jnp.int32)
-    bot0 = jnp.zeros((hb, LANE), jnp.int32)
-    bot1 = jnp.zeros((hb, LANE), jnp.int32)
-    for o in range(-(fb + 1), fb + 3):
-        rows_off = win[_MR + o:_MR + o + hb, :].astype(jnp.int32)
-        h0 = _win_hgather(rows_off, xl0)
-        h1 = _win_hgather(rows_off, jnp.minimum(xl0 + 1, 383))
-        h1 = jnp.where(x1_in, h1, h0)
-        sel_t = d == o
-        sel_b = d == (o - 1)                         # bottom row y0 + 1;
-        # at the image bottom the window's edge padding already holds the
-        # replicated last row, so no extra clamp is needed.
-        top0 = jnp.where(sel_t, h0, top0)
-        top1 = jnp.where(sel_t, h1, top1)
-        bot0 = jnp.where(sel_b, h0, bot0)
-        bot1 = jnp.where(sel_b, h1, bot1)
+    # Vertical select-accumulate, restructured for scoped VMEM: Mosaic
+    # does NOT reuse stack across statically unrolled iterations (the
+    # 68-offset unroll OOM'd at 20.6 MB on v5e), but a real fori_loop
+    # body's stack IS reused.  Offsets are walked in aligned 8-row
+    # blocks: the outer fori slices [hb + 8, 384] at an 8-aligned
+    # dynamic start, the inner static loop covers the 8 sub-offsets.
+    ob = -(((fb + 1) + 7) // 8) * 8                  # aligned lower bound
+    n_outer = ((fb + 2) - ob + 8) // 8               # cover [ob, fb+2]
+    zero = jnp.zeros((hb, LANE), jnp.int32)
+
+    def outer(qi, carry):
+        top0, top1, bot0, bot1 = carry
+        start = _MR + ob + 8 * qi
+        blk = src_ref[0, 0, 0,
+                      pl.ds(pl.multiple_of(start, 8), hb + 8),
+                      :].astype(jnp.int32)
+        for sub in range(8):
+            o = ob + 8 * qi + sub                    # traced scalar
+            rows_off = blk[sub:sub + hb, :]
+            h0 = _win_hgather(rows_off, xl0)
+            h1 = _win_hgather(rows_off, xl1)
+            h1 = jnp.where(x1_in, h1, h0)
+            sel_t = d == o
+            sel_b = d == (o - 1)                     # bottom row y0 + 1;
+            # at the image bottom the window's edge padding already holds
+            # the replicated last row, so no extra clamp is needed.
+            top0 = jnp.where(sel_t, h0, top0)
+            top1 = jnp.where(sel_t, h1, top1)
+            bot0 = jnp.where(sel_b, h0, bot0)
+            bot1 = jnp.where(sel_b, h1, bot1)
+        return top0, top1, bot0, bot1
+
+    top0, top1, bot0, bot1 = jax.lax.fori_loop(
+        0, n_outer, outer, (zero, zero, zero, zero))
 
     outs = []
     for ch in range(3):
@@ -291,7 +308,9 @@ def warp_bounded_pallas(packed: jax.Array, flow: jax.Array, fb: int,
     B, H, W = packed.shape
     if H % 8:
         raise ValueError("H must be a multiple of 8")
-    hb = 64 if H % 64 == 0 else 32 if H % 32 == 0 else 8
+    # hb = 32 keeps the kernel's scoped-VMEM stack well under the 16 MB
+    # limit (hb = 64 measured 16.11 MB on v5e — 112 KB over).
+    hb = 32 if H % 32 == 0 else 8
     wpad = (-W) % LANE
     Wp = W + wpad
 

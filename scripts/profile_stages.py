@@ -128,7 +128,9 @@ def main():
             codec.vr_enc, k=kk)))
     res = codec._vrenc_fused_pb(z_qm, y_cqm[0], bins_m, z_qc, y_cqc[0],
                                 bins_c, codec.vr_enc, k=kk)
-    handles = {"k": k, "frame_type": ftype, "vr": {"res": res, "k": kk},
+    handles = {"k": k, "frame_type": ftype,
+               "vr": {"res": res, "k": kk, "fmt": "xla",
+                      "cols": [0, 1, 2, 3]},
                "mof": mof, "decoded": [],
                "z_qm": z_qm, "y_cqm": y_cqm, "bins_m": bins_m,
                "z_qc": z_qc, "y_cqc": y_cqc, "bins_c": bins_c}
