@@ -302,6 +302,12 @@ def main():
                     help="prefetch threads (each with its own rng slot)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
+    ap.add_argument("--health_psnr", type=float, default=4.0,
+                    help="abort (rc 3) and refuse checkpoints when mean "
+                         "PSNR of the last 15 steps falls below this; "
+                         "raise it for resumed runs that start healthy "
+                         "(a collapse from 20 dB hovered at 7-9 dB and "
+                         "slipped past the default)")
     ap.add_argument("--cpu", action="store_true",
                     help="train on host CPU (sitecustomize pins the axon "
                          "TPU platform; env JAX_PLATFORMS alone does not "
@@ -386,7 +392,7 @@ def main():
 
     def healthy():
         return (not recent
-                or sum(recent) / len(recent) > 4.0
+                or sum(recent) / len(recent) > args.health_psnr
                 or len(recent) < recent.maxlen)
 
     for step in range(args.step0, args.steps):
