@@ -39,3 +39,30 @@ def test_last_step_handles_missing_and_garbled(tmp_path):
     assert sup.last_step(log) == 0
     log.write_text("step    42  loss 1.0\n")  # no marker: direct run
     assert sup.last_step(log) == 42
+
+
+def test_last_saved_step_reads_actual_checkpoint_lines(tmp_path):
+    """Progress derives from 'checkpoint @ step N' lines that exist, not
+    from an assumed save cadence (ADVICE r2: the old inference silently
+    dropped steps when --save_every didn't match the assumption)."""
+    sup = _load()
+    log = tmp_path / "t.log"
+    log.write_text(
+        "=== supervisor launch #0 (remaining 9000) ===\n"
+        "step   499  rate_idx 1  loss 1.0\n"
+        "checkpoint @ step 500 -> models_ckpt/x\n"
+        "step   740  rate_idx 3  loss 0.5\n"
+        "snapshot @ step 600 -> models_ckpt/x-s600\n")
+    assert sup.last_saved_step(log) == 600
+    # a later launch section resets the accounting
+    with log.open("a") as f:
+        f.write("=== supervisor launch #1 (remaining 8300) ===\n"
+                "step   501  rate_idx 2  loss 0.9\n")
+    assert sup.last_saved_step(log) == -1
+
+
+def test_last_saved_step_ignores_garbage(tmp_path):
+    sup = _load()
+    log = tmp_path / "t.log"
+    log.write_text("checkpoint @ step notanumber -> x\n")
+    assert sup.last_saved_step(log) == -1
