@@ -8,7 +8,7 @@ ac_max_val = A shrinks every CDF table and TPU one-hot lookup by
 slight RATE IMPROVEMENT (no probability mass wasted on unused tails).
 
 Usage:
-  python scripts/latent_range.py --ckpt models_ckpt/bf16-r2 [--cpu]
+  python scripts/latent_range.py --ckpt models_ckpt/bf16-r3 [--cpu]
 """
 
 from __future__ import annotations
@@ -31,7 +31,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="models_ckpt/bf16-r2")
+    ap.add_argument("--ckpt", default="models_ckpt/bf16-r3")
     ap.add_argument("--h", type=int, default=240)
     ap.add_argument("--w", type=int, default=416)
     ap.add_argument("--frames", type=int, default=9)
