@@ -182,6 +182,39 @@ def _photowarp(n, h, w):
     return out
 
 
+def _zoomgrain(n, h, w):
+    """Second natural-composite family: a reversing ZOOM on a HELD-OUT
+    photographic texture under film grain — training zooms are tiny
+    (+-0.004/frame) and never reverse, and the zoom eval family is a
+    synthetic checkerboard.  Textures come only from photo_pool's
+    held-out split."""
+    from photo_pool import heldout_pool
+
+    pool = heldout_pool()
+    if len(pool) < 3:
+        return _zoom(n, h, w)
+    rng = np.random.default_rng(4321)
+    bg = pool[2]
+    Hb, Wb, _ = bg.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy, cx = Hb / 2.0, Wb / 2.0
+    out = []
+    for t in range(n):
+        te = t if t < n // 2 else (n - 1 - t)        # zoom in, then back
+        sc = 1.0 / (1.0 + 0.015 * te)
+        sy = np.clip((yy - h / 2) * sc + cy, 0, Hb - 1.001)
+        sx = np.clip((xx - w / 2) * sc + cx, 0, Wb - 1.001)
+        iy, ix = sy.astype(np.int32), sx.astype(np.int32)
+        fy, fx = (sy - iy)[..., None], (sx - ix)[..., None]
+        iy1 = np.minimum(iy + 1, Hb - 1)
+        ix1 = np.minimum(ix + 1, Wb - 1)
+        f = (bg[iy, ix] * (1 - fy) * (1 - fx) + bg[iy, ix1] * (1 - fy) * fx
+             + bg[iy1, ix] * fy * (1 - fx) + bg[iy1, ix1] * fy * fx)
+        f = f + rng.normal(scale=0.006, size=f.shape)
+        out.append(_to_yuv(np.clip(f, 0, 1).astype(np.float32)))
+    return out
+
+
 FAMILIES = {
     "wheel": _wheel,
     "bounce": _bounce,
@@ -190,6 +223,7 @@ FAMILIES = {
     "plasma": _plasma,
     "sinusoid": _sinusoid,
     "photowarp": _photowarp,
+    "zoomgrain": _zoomgrain,
 }
 
 

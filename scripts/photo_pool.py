@@ -31,7 +31,13 @@ _SITE = Path("/opt/venv/lib/python3.12/site-packages")
 _GYM = _SITE / "gymnasium_robotics/envs/assets"
 _DMC = _SITE / "dm_control"
 
-# Material photographs used for TRAINING clips.
+_LAB = _SITE / "labmaze/assets"
+
+# Material photographs used for TRAINING clips.  Families: material
+# close-ups (wood/marble/metal/skin), outdoor photography (sky, grass,
+# soccer pitch), fabric (jersey textures), and genuine SCREEN CONTENT
+# (documentation screenshots) — the content class the reference's CLIC21
+# screen-content clips cover.
 TRAIN_TEXTURES = [
     _GYM / "kitchen_franka/kitchen_assets/textures/wood1.png",
     _GYM / "kitchen_franka/kitchen_assets/textures/white_marble_tile.png",
@@ -42,6 +48,19 @@ TRAIN_TEXTURES = [
     _DMC / "locomotion/arenas/assets/outdoor_natural/OutdoorSkybox2048.png",
     _DMC / "locomotion/arenas/assets/outdoor_natural/OutdoorGrassFloorD.png",
     _DMC / "suite/dog_assets/skin_texture.png",
+    _DMC / "locomotion/soccer/assets/pitch/pitch_m.png",
+    _DMC / "locomotion/walkers/assets/jumping_ball/jumping_ball_body.png",
+    _DMC / "locomotion/soccer/assets/humanoid/B_01.png",
+    _DMC / "locomotion/soccer/assets/humanoid/B_05.png",
+    _DMC / "locomotion/soccer/assets/humanoid/R_03.png",
+    _DMC / "suite/dog_assets/tennis_ball.png",
+    _DMC / "blender/mujoco_exporter/doc/install_plugin.png",
+    _DMC / "blender/mujoco_exporter/doc/limits.png",
+    _LAB / "sky_01/up.png",
+    _LAB / "style_01/floor_light_m.png",
+    _LAB / "style_02/wall_purple_d.png",
+    _LAB / "style_05/floor_blue_d.png",
+    _LAB / "style_03/floor_orange_d.png",
 ]
 
 # Photographs reserved for HELD-OUT evaluation (never trained on).
