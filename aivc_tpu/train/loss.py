@@ -53,6 +53,14 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
     logs = {"rate_bpp": 0.0, "mode_rate_bpp": 0.0, "codec_rate_bpp": 0.0,
             "mse": 0.0, "dist": 0.0}
     n_dist = n - nb_pad_frame
+    # Motion-liveness telemetry: mean/max |flow| over inter frames.
+    # Round 3's motion path silently re-exploded to ~1e16 px flows
+    # mid-training (border-clamped warp => dead gradients => intra-only
+    # behaviour) and nothing in the logs showed it; these two scalars
+    # make the failure visible the step it starts.
+    flow_sum = jnp.float32(0.0)
+    flow_max = jnp.float32(0.0)
+    n_inter = 0
 
     for step, spec in enumerate(gop.coding_order):
         rng, rng_f = jax.random.split(rng)
@@ -80,6 +88,10 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
         if aux["mof"] is not None:
             mof = aux["mof"]
             mode_rate = (mof["rate_y"].sum() + mof["rate_z"].sum()) / (B * nb_pixel)
+            av = jnp.abs(aux["v_prev"])
+            flow_sum = flow_sum + jnp.mean(av)
+            flow_max = jnp.maximum(flow_max, jnp.max(av))
+            n_inter += 1
         else:
             mode_rate = jnp.float32(0.0)
 
@@ -114,4 +126,6 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
         logs["mse"] = logs["mse"] * n / n_dist
         logs["dist"] = logs["dist"] * n / n_dist
     logs["psnr"] = 10.0 * jnp.log10(1.0 / jnp.maximum(logs["mse"], 1e-12))
+    logs["flow_mag"] = flow_sum / max(n_inter, 1)
+    logs["flow_max"] = flow_max
     return total_loss, logs

@@ -322,11 +322,20 @@ def main():
     from aivc_tpu.train.trainer import make_optimizer, make_train_step
     from aivc_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
-    cfg = {"tiny": TINY, "base": ModelConfig(), "bf16": BASE_BF16}[args.model]
-    model, params = init_fullnet(cfg)
     if args.resume:
-        cfg_loaded, params = load_checkpoint(args.resume)
-        print(f"resumed params from {args.resume} ({cfg_loaded.name})")
+        # The checkpoint's OWN config drives the module, the train step
+        # and every save: round 3 trained for a full leg with the zoo
+        # config silently clobbering the checkpoint's (flow_bound /
+        # gdn_clamp / ac_max_val surgery was dropped on resume and the
+        # promoted flagship shipped with the wrong config.json).
+        cfg, params = load_checkpoint(args.resume)
+        from aivc_tpu.models.fullnet import FullNet
+        model = FullNet(cfg)
+        print(f"resumed params from {args.resume} ({cfg.name})")
+    else:
+        cfg = {"tiny": TINY, "base": ModelConfig(),
+               "bf16": BASE_BF16}[args.model]
+        model, params = init_fullnet(cfg)
     gop = generate_gop_struct(args.gop)
     opt = make_optimizer(
         args.lr,
@@ -409,6 +418,8 @@ def main():
                   f"psnr {float(logs['psnr']):.2f}  "
                   f"bpp {float(logs['rate_bpp']):.4f}  "
                   f"gnorm {float(logs['grad_norm']):.2f}  "
+                  f"flow {float(logs['flow_mag']):.2f}/"
+                  f"{float(logs['flow_max']):.1f}  "
                   f"({(time.time() - t0):.0f}s)", flush=True)
         if not healthy():
             print(f"DIVERGED @ step {step}: mean psnr of last "
