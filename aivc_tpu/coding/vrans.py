@@ -409,7 +409,31 @@ def _win_rows(sub: int) -> int:
     return w + (-w) % 8
 
 
-def _cdf_dec_lookup8(r8, slot8, cdf_ref):
+def _split_hi_lo(vals_f32):
+    """f32 integer values < 2^16 -> (hi, lo) f32 byte planes.
+
+    Each plane's values sit in [0, 256] and are therefore EXACT in bf16
+    (8-bit mantissa): a DEFAULT-precision f32 dot against a one-hot
+    operand runs as ONE bf16 MXU pass with f32 accumulation and is still
+    exact — vs the ~6 passes of precision=HIGHEST the un-split 16-bit
+    values need.  Two single-pass dots beat one six-pass dot ~3x on the
+    lookup matmuls, which dominate the per-step kernel cost."""
+    hi = jnp.floor(vals_f32 * (1.0 / 256.0))
+    return hi, vals_f32 - hi * 256.0
+
+
+def _onehot_dot(oh, hi, lo):
+    """Exact one-hot contraction of 16-bit integer values via two
+    DEFAULT-precision (single-MXU-pass) dots over byte planes."""
+    num = (((oh.ndim - 1,), (0,)), ((), ()))
+    rh = jax.lax.dot_general(oh, hi, dimension_numbers=num,
+                             preferred_element_type=jnp.float32)
+    rl = jax.lax.dot_general(oh, lo, dimension_numbers=num,
+                             preferred_element_type=jnp.float32)
+    return rh * 256.0 + rl
+
+
+def _cdf_dec_lookup8(r8, slot8, hi_ref, lo_ref):
     """One 8-sublane tile of the decode lookup: [8, 128] (row, slot) ->
     (sym i32, start u32, freq u32) via the comparison-based inverse CDF.
 
@@ -417,16 +441,12 @@ def _cdf_dec_lookup8(r8, slot8, cdf_ref):
     f32 intermediates stay VMEM-bounded: at 16 sublanes the un-tiled
     lookup alone exceeded the 16 MB scoped-VMEM limit with a real
     (many-row) CDF table (hardware compile OOM at 20.5 MB)."""
-    n_rows = cdf_ref.shape[0]
+    n_rows = hi_ref.shape[0]
     oh_r = (r8[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (8, 128, n_rows), 2)).astype(jnp.float32)
     # rc[s, l, j] = cdf[r[s,l], j + 1]  (column 0 of the true CDF is 0
     # and is dropped so the table is exactly [R, 512])
-    rc = jax.lax.dot_general(
-        oh_r, cdf_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 512] exact
+    rc = _onehot_dot(oh_r, hi_ref[:], lo_ref[:])     # [8, 128, 512] exact
     # Mosaic has no u32<->f32 casts; all values fit int32, so hop via it.
     slot_f = slot8.astype(jnp.int32).astype(jnp.float32)
     le = rc <= slot_f[:, :, None]
@@ -441,19 +461,15 @@ def _cdf_dec_lookup8(r8, slot8, cdf_ref):
     return s, start, nxt - start
 
 
-def _cdf_enc_lookup8(r8, s8, cdf_ref):
+def _cdf_enc_lookup8(r8, s8, hi_ref, lo_ref):
     """One 8-sublane tile of the encode lookup: [8, 128] (row, symbol) ->
     (start_f, freq_f) as exact f32 integers.  See _cdf_dec_lookup8 for
     why the tile is fixed at 8 sublanes."""
-    n_rows = cdf_ref.shape[0]
-    n_sym = cdf_ref.shape[1]
+    n_rows = hi_ref.shape[0]
+    n_sym = hi_ref.shape[1]
     oh_r = (r8[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (8, 128, n_rows), 2)).astype(jnp.float32)
-    rc = jax.lax.dot_general(
-        oh_r, cdf_ref[:],
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)      # [8, 128, n_sym] exact
+    rc = _onehot_dot(oh_r, hi_ref[:], lo_ref[:])  # [8, 128, n_sym] exact
     # cdf[s] = max of the monotone row over columns <= s - 1 (column j of
     # rc holds cdf[j + 1]); masked maxes replace one-hot select tensors,
     # saving ~6 MB of VMEM stack per tile.  Exact in f32.
@@ -465,7 +481,7 @@ def _cdf_enc_lookup8(r8, s8, cdf_ref):
     return start_f, nxt_f - start_f
 
 
-def _tiled8(fn, get_a, get_b, cdf_ref, sub, scratch):
+def _tiled8(fn, get_a, get_b, cdf_hi_ref, cdf_lo_ref, sub, scratch):
     """Apply an 8-sublane lookup tile-by-tile over [sub, 128] operands.
 
     get_a/get_b(off) load one [8, 128] tile at sublane offset `off`
@@ -476,11 +492,11 @@ def _tiled8(fn, get_a, get_b, cdf_ref, sub, scratch):
     lookups measured 26.5 MB of scoped VMEM on v5e — over the 16 MB
     limit), but a real loop body's stack is reused across iterations."""
     if sub == 8:
-        return fn(get_a(0), get_b(0), cdf_ref)
+        return fn(get_a(0), get_b(0), cdf_hi_ref, cdf_lo_ref)
 
     def tile(i, _):
         off = pl.multiple_of(i * 8, 8)
-        outs = fn(get_a(off), get_b(off), cdf_ref)
+        outs = fn(get_a(off), get_b(off), cdf_hi_ref, cdf_lo_ref)
         for ref, val in zip(scratch, outs):
             ref[pl.ds(off, 8), :] = val
         return 0
@@ -490,8 +506,8 @@ def _tiled8(fn, get_a, get_b, cdf_ref, sub, scratch):
 
 
 def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
-                          cdf_ref, out_ref, states_out_ref, g_out_ref,
-                          x_ref, g_ref, *lk_refs):
+                          cdf_hi_ref, cdf_lo_ref, out_ref, states_out_ref,
+                          g_out_ref, x_ref, g_ref, *lk_refs):
     t = pl.program_id(1)
 
     bb = pl.program_id(0)
@@ -509,7 +525,7 @@ def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
         _cdf_dec_lookup8,
         lambda off: rows_ref[0, pl.ds(off, 8), :],
         lambda off: x_ref[pl.ds(off, 8), :] & _SLOT_MASK,
-        cdf_ref, sub, lk_refs)
+        cdf_hi_ref, cdf_lo_ref, sub, lk_refs)
 
     x = freq * (x >> PROB_BITS) + slot - start
     # x < 2^16 as a sign-free test: Mosaic compares of uint32 can go
@@ -540,25 +556,20 @@ def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
     # 128-aligned window of the word stream covering [g, g + K]
     g = g_ref[0]
     row0 = pl.multiple_of((g // 2048) * 16, 16)
-    win = words_ref[0, pl.ds(row0, win_rows), :].astype(
-        jnp.int32).astype(jnp.float32)
+    # The u16 window may be sign-extended on load (Mosaic treats it as
+    # i16); & 0xFFFF recovers the unsigned word bits before the byte
+    # split (_split_hi_lo needs non-negative values).
+    win_i = words_ref[0, pl.ds(row0, win_rows), :].astype(jnp.int32) & 0xFFFF
+    win_hi, win_lo = _split_hi_lo(win_i.astype(jnp.float32))
     idx = (g - row0 * 128) + rank                    # in [0, win_rows*128)
     wr = idx // 128
     wl = idx % 128
     oh_wr = (wr[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (sub, 128, win_rows), 2)).astype(jnp.float32)
-    tmp = jax.lax.dot_general(
-        oh_wr, win,
-        dimension_numbers=(((2,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST)         # [8, 128, 128] exact
+    tmp = _onehot_dot(oh_wr, win_hi, win_lo)         # [8, 128, 128] exact
     oh_wl = (wl[:, :, None] == jax.lax.broadcasted_iota(
         jnp.int32, (sub, 128, 128), 2)).astype(jnp.float32)
-    # The u16 window may be sign-extended on load (Mosaic treats it as
-    # i16); the f32 roundtrip is exact either way and & 0xFFFF recovers
-    # the unsigned word bits.
-    wv = (jnp.sum(tmp * oh_wl, axis=2).astype(jnp.int32)
-          & 0xFFFF).astype(jnp.uint32)
+    wv = jnp.sum(tmp * oh_wl, axis=2).astype(jnp.int32).astype(jnp.uint32)
 
     x = jnp.where(need, (x << 16) | wv, x)
     x_ref[:] = x
@@ -661,6 +672,8 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(cdf512_f32.shape,
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cdf512_f32.shape,
+                         lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, t, 0),
@@ -682,7 +695,7 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
               pltpu.VMEM((sub, 128), jnp.uint32),
               pltpu.VMEM((sub, 128), jnp.uint32)] if sub > 8 else []),
         interpret=interpret,
-    )(rows3, w3, states3, g02, cdf512_f32)
+    )(rows3, w3, states3, g02, *_split_hi_lo(cdf512_f32))
     syms = out.reshape(b, n_pad)[:, :n]
     if return_carry:
         return syms, states_o.reshape(b, k), g_o.reshape(b)
@@ -744,8 +757,8 @@ def _enc_div_u32(x, freq_f):
     return q, rem.astype(jnp.int32).astype(_U32)
 
 
-def _encode_pallas_kernel(seg_ts, sub, sym_ref, rows_ref, cdf_ref,
-                          words_ref, states_out_ref, segg_ref,
+def _encode_pallas_kernel(seg_ts, sub, sym_ref, rows_ref, cdf_hi_ref,
+                          cdf_lo_ref, words_ref, states_out_ref, segg_ref,
                           x_ref, g_ref, *lk_refs):
     t = pl.program_id(1)
     bb = pl.program_id(0)
@@ -764,7 +777,7 @@ def _encode_pallas_kernel(seg_ts, sub, sym_ref, rows_ref, cdf_ref,
         _cdf_enc_lookup8,
         lambda off: rows_ref[0, pl.ds(off, 8), :],
         lambda off: sym_ref[0, pl.ds(off, 8), :],
-        cdf_ref, sub, lk_refs)
+        cdf_hi_ref, cdf_lo_ref, sub, lk_refs)
     start = start_f.astype(jnp.int32).astype(_U32)
 
     # rANS step (reverse order: the grid index map feeds blocks reversed).
@@ -918,6 +931,8 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(cdf512_f32.shape,
                          lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(cdf512_f32.shape,
+                         lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, wrb, 128), lambda bb, t: (bb, 0, 0),
@@ -938,7 +953,7 @@ def encode_pallas_batch(sym: jax.Array, rows: jax.Array,
         ] + ([pltpu.VMEM((sub, 128), jnp.float32),
               pltpu.VMEM((sub, 128), jnp.float32)] if sub > 8 else []),
         interpret=interpret,
-    )(sym3, rows3, cdf512_f32)
+    )(sym3, rows3, *_split_hi_lo(cdf512_f32))
     g0 = (wrb - _WIN_W) * 128
     return buf.reshape(b, wrb * 128), states_o.reshape(b, k), seg_g, g0
 

@@ -144,6 +144,16 @@ def main():
         if resume:
             cmd += ["--resume", resume]
         cmd += extra
+        # Fold the launch count into the data seed: a diverged launch
+        # that made no checkpoint otherwise replays the IDENTICAL batch
+        # stream from the identical params and diverges at the identical
+        # step, forever (observed: three bit-identical launches each
+        # aborting at step 313).  train_toy's stream seeding is
+        # (seed, slot, step0), so varying seed per launch redraws the
+        # trajectory while stall-kill resumes stay deterministic per
+        # launch.
+        if "--seed" not in extra:
+            cmd += ["--seed", str(restarts)]
         print(f"[supervisor] launch #{restarts}: steps "
               f"{done_prior}..{args.steps} (resume={resume or 'fresh'})",
               flush=True)
