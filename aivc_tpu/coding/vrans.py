@@ -192,14 +192,6 @@ def _default_method() -> str:
     return "matmul" if jax.default_backend() == "tpu" else "gather"
 
 
-def _row_cdf(r: jax.Array, cdf_f32: jax.Array) -> jax.Array:
-    """[K] row indices -> [K, 513] exact f32 CDF rows via one-hot matmul."""
-    n_rows = cdf_f32.shape[0]
-    oh = (r[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
-          ).astype(jnp.float32)
-    return jnp.dot(oh, cdf_f32, precision=jax.lax.Precision.HIGHEST)
-
-
 # ---------------------------------------------------------------------------
 # jit cores (shapes static per (n, K); integer-exact on every backend)
 # ---------------------------------------------------------------------------
@@ -240,12 +232,14 @@ def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
         r3 = jnp.pad(rows, (0, pad2)).reshape(-1, CH)
         iota_r = jnp.arange(tables.cdf_f32.shape[0], dtype=jnp.int32)
         edges = jnp.arange(n_sym + 1, dtype=jnp.int32)
+        # hoisted: loop-invariant byte planes must not be re-split per
+        # scan step
+        cdf_hi, cdf_lo = _split_hi_lo(tables.cdf_f32)
 
         def lk(_, inp):
             s, r = inp
             oh = (r[:, None] == iota_r[None, :]).astype(jnp.float32)
-            rc = jnp.dot(oh, tables.cdf_f32,
-                         precision=jax.lax.Precision.HIGHEST)
+            rc = _onehot_dot(oh, cdf_hi, cdf_lo)
             oh_s = (edges[None, :] == s[:, None]).astype(jnp.float32)
             oh_s1 = (edges[None, :] == (s + 1)[:, None]).astype(jnp.float32)
             start = jnp.sum(rc * oh_s, axis=1)
@@ -334,6 +328,11 @@ def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
     s_steps, n_pad = plan(n, k)
     rows = jnp.pad(rows.astype(jnp.int32), (0, n_pad - n), constant_values=0)
     rows2 = rows.reshape(s_steps, k)
+    # hoisted byte planes (see _split_hi_lo): the lookup runs on the
+    # sequential critical path, one per scan step
+    if method != "gather":
+        cdf_hi, cdf_lo = _split_hi_lo(tables.cdf_f32)
+        iota_r = jnp.arange(tables.cdf_f32.shape[0], dtype=jnp.int32)
 
     def lookup(slot, r):
         if method == "gather":
@@ -344,7 +343,8 @@ def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
         # Comparison-based inverse CDF on the MXU-produced exact rows:
         # sym = #{j >= 1 : cdf[j] <= slot}; start = max cdf[j] <= slot;
         # next = min cdf[j] > slot.  No 16K-wide inverse table needed.
-        rc = _row_cdf(r, tables.cdf_f32)                   # [K, 513]
+        oh = (r[:, None] == iota_r[None, :]).astype(jnp.float32)
+        rc = _onehot_dot(oh, cdf_hi, cdf_lo)               # [K, 513]
         slot_f = slot.astype(jnp.float32)[:, None]
         le = rc <= slot_f
         s = jnp.sum(le[:, 1:], axis=1).astype(jnp.int32)

@@ -59,14 +59,21 @@ def main():
 
     import functools
 
-    @functools.partial(jax.jit, static_argnames=("n", "k"))
-    def enc(sym, rows, tables, n, k):
+    @functools.partial(jax.jit,
+                       static_argnames=("n", "k", "n_sym", "pad_sym"))
+    def enc(sym, rows, pack, cdf_f32, n, k, n_sym, pad_sym):
+        # Table ARRAYS ride as jit arguments (closure capture commits
+        # them as device buffers and blocks scan optimizations — see
+        # vrans.py note); the int fields must stay STATIC, so the
+        # NamedTuple is rebuilt inside from split-out parts.
+        t = vrans.EncTables(pack=pack, cdf_f32=cdf_f32, pad_sym=pad_sym,
+                            n_symbols=n_sym)
         return jax.vmap(lambda s, r: vrans.encode_impl(
-            s, r, tables, n=n, k=k, n_sym=tables.n_symbols,
-            pad_sym=tables.pad_sym))(sym, rows)
+            s, r, t, n=n, k=k, n_sym=n_sym, pad_sym=pad_sym))(sym, rows)
 
     def run_enc():
-        buf, states, total = enc(sym_d, rows_d, enc_t, n, k)
+        buf, states, total = enc(sym_d, rows_d, enc_t.pack, enc_t.cdf_f32,
+                                 n, k, enc_t.n_symbols, enc_t.pad_sym)
         t = np.asarray(total)  # forced pull = real sync
         return buf, states, t
 
@@ -81,7 +88,7 @@ def main():
           f"({min(times)*1e3/b:.2f} ms/chunk, {int(total.max())} words max)")
 
     # Pallas encode kernel (same stream bytes; VMEM-resident)
-    if vrans._enc_pallas_ok(n, k) and k == vrans._SUB * 128:
+    if vrans._enc_pallas_ok(n, k):
         cdf512 = enc_t.cdf_f32[:, 1:]
 
         @functools.partial(jax.jit, static_argnames=("n", "k"))
