@@ -206,6 +206,66 @@ def test_pallas_kernel_interpret_matches_gather():
     np.testing.assert_array_equal(np.asarray(out)[0], vals)
 
 
+def test_pallas_batched_staged_decode_matches_xla():
+    """The batched-in-step decode kernel (batch on the SUBLANE axis, one
+    grid step per rANS step of ALL elements) must be bit-identical to the
+    per-element XLA route, including per-element cursors (different
+    payload sizes), staged fused decoding (g0 + carry), and per-element
+    pad tails."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(47)
+    cdf_rows = _rand_cdf_rows(rng, 12, skew=3.0)
+    enc = vrans.make_enc_tables(cdf_rows)
+    dec = vrans.make_dec_tables(cdf_rows)
+    k = vrans._SUB * 128
+    b = 3
+    n1, n2 = 2 * k, 3 * k
+    n = n1 + n2
+    _, n_pad = vrans.plan(n, k)
+    segs = (n1 // k, n2 // k)
+
+    vals = np.stack([rng.integers(0, N_SYMBOLS, size=n).astype(np.int32)
+                     * (1 if i else 0)  # element 0: all-pad_sym-ish lows
+                     for i in range(b)])
+    rows = np.stack([rng.integers(0, 12, size=n).astype(np.int32)
+                     for _ in range(b)])
+    bufs, states, totals, seg_w = [], [], [], []
+    for i in range(b):
+        buf, st, tot, sw = vrans.encode_impl(
+            jnp.asarray(vals[i]), jnp.asarray(rows[i]), enc, n=n, k=k,
+            n_sym=enc.n_symbols, pad_sym=enc.pad_sym, method="gather",
+            segment_steps=segs)
+        bufs.append(np.asarray(buf))
+        states.append(np.asarray(st))
+        totals.append(int(tot))
+        seg_w.append(np.asarray(sw))
+    m = max(vrans.bucket(t, n_pad) for t in totals)
+    w = np.zeros((b, m), np.uint16)
+    for i in range(b):
+        w[i, :totals[i]] = bufs[i][:totals[i]]
+    w_d = jnp.asarray(w)
+    st_d = jnp.asarray(np.stack(states))
+    r_d = jnp.asarray(rows)
+
+    # whole-stream decode
+    out = vrans.decode_pallas_batch(w_d, st_d, r_d, dec.cdf512_f32,
+                                    n=n, k=k, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), vals)
+
+    # staged decode with carry: segment 1 then segment 2, per-element g0
+    s1, st1, g1 = vrans.decode_pallas_batch(
+        w_d, st_d, r_d[:, :n1], dec.cdf512_f32, n=n1, k=k,
+        interpret=True, return_carry=True)
+    np.testing.assert_array_equal(np.asarray(s1), vals[:, :n1])
+    np.testing.assert_array_equal(np.asarray(g1),
+                                  np.stack(seg_w)[:, 0])
+    s2 = vrans.decode_pallas_batch(
+        w_d, jnp.asarray(st1), r_d[:, n1:], dec.cdf512_f32, n=n2, k=k,
+        g0=g1, interpret=True)
+    np.testing.assert_array_equal(np.asarray(s2), vals[:, n1:])
+
+
 def _pad_seg(vals, rows, k, pad_sym, pad_row):
     """Pad a segment to a multiple of k with deterministic filler."""
     pad = (-len(vals)) % k
