@@ -192,6 +192,14 @@ def _default_method() -> str:
     return "matmul" if jax.default_backend() == "tpu" else "gather"
 
 
+def _row_cdf(r: jax.Array, cdf_f32: jax.Array) -> jax.Array:
+    """[K] row indices -> [K, 513] exact f32 CDF rows via one-hot matmul."""
+    n_rows = cdf_f32.shape[0]
+    oh = (r[:, None] == jnp.arange(n_rows, dtype=jnp.int32)[None, :]
+          ).astype(jnp.float32)
+    return jnp.dot(oh, cdf_f32, precision=jax.lax.Precision.HIGHEST)
+
+
 # ---------------------------------------------------------------------------
 # jit cores (shapes static per (n, K); integer-exact on every backend)
 # ---------------------------------------------------------------------------
@@ -232,14 +240,12 @@ def encode_impl(sym: jax.Array, rows: jax.Array, tables: EncTables,
         r3 = jnp.pad(rows, (0, pad2)).reshape(-1, CH)
         iota_r = jnp.arange(tables.cdf_f32.shape[0], dtype=jnp.int32)
         edges = jnp.arange(n_sym + 1, dtype=jnp.int32)
-        # hoisted: loop-invariant byte planes must not be re-split per
-        # scan step
-        cdf_hi, cdf_lo = _split_hi_lo(tables.cdf_f32)
 
         def lk(_, inp):
             s, r = inp
             oh = (r[:, None] == iota_r[None, :]).astype(jnp.float32)
-            rc = _onehot_dot(oh, cdf_hi, cdf_lo)
+            rc = jnp.dot(oh, tables.cdf_f32,
+                         precision=jax.lax.Precision.HIGHEST)
             oh_s = (edges[None, :] == s[:, None]).astype(jnp.float32)
             oh_s1 = (edges[None, :] == (s + 1)[:, None]).astype(jnp.float32)
             start = jnp.sum(rc * oh_s, axis=1)
@@ -328,11 +334,6 @@ def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
     s_steps, n_pad = plan(n, k)
     rows = jnp.pad(rows.astype(jnp.int32), (0, n_pad - n), constant_values=0)
     rows2 = rows.reshape(s_steps, k)
-    # hoisted byte planes (see _split_hi_lo): the lookup runs on the
-    # sequential critical path, one per scan step
-    if method != "gather":
-        cdf_hi, cdf_lo = _split_hi_lo(tables.cdf_f32)
-        iota_r = jnp.arange(tables.cdf_f32.shape[0], dtype=jnp.int32)
 
     def lookup(slot, r):
         if method == "gather":
@@ -343,8 +344,7 @@ def decode_impl(words: jax.Array, states: jax.Array, rows: jax.Array,
         # Comparison-based inverse CDF on the MXU-produced exact rows:
         # sym = #{j >= 1 : cdf[j] <= slot}; start = max cdf[j] <= slot;
         # next = min cdf[j] > slot.  No 16K-wide inverse table needed.
-        oh = (r[:, None] == iota_r[None, :]).astype(jnp.float32)
-        rc = _onehot_dot(oh, cdf_hi, cdf_lo)               # [K, 513]
+        rc = _row_cdf(r, tables.cdf_f32)                   # [K, 513]
         slot_f = slot.astype(jnp.float32)[:, None]
         le = rc <= slot_f
         s = jnp.sum(le[:, 1:], axis=1).astype(jnp.int32)
@@ -505,120 +505,81 @@ def _tiled8(fn, get_a, get_b, cdf_hi_ref, cdf_lo_ref, sub, scratch):
     return tuple(ref[:] for ref in scratch)
 
 
-def _decode_pallas_kernel(b, sub, rows_ref, words_ref, states_ref, g0_ref,
+def _decode_pallas_kernel(sub, rows_ref, words_ref, states_ref, g0_ref,
                           cdf_hi_ref, cdf_lo_ref, out_ref, states_out_ref,
-                          g_out_ref, x_ref, g_ref, s_ref, st_ref, fr_ref,
-                          rk_ref, wv_ref, nd_ref):
-    """One fat grid step decodes ONE rANS step of ALL b batch elements.
+                          g_out_ref, x_ref, g_ref, *lk_refs):
+    t = pl.program_id(1)
 
-    The batch rides the SUBLANE axis ([b*sub, 128] state/symbol tiles),
-    not the grid: the grid is strictly sequential on TPU, and at wave
-    batch 8 the per-grid-step fixed overhead (block DMA issue, pipeline
-    drain between dependent steps) measured ~4-5x the useful per-step
-    work — batching inside the step amortizes it 8x and lets the eight
-    independent element chains hide each other's MXU/VPU latencies.
-    Element-local state that cannot vectorize (word cursor, window feed)
-    runs in a fori_loop over elements with VMEM scratch carrying the
-    per-lane results."""
-    t = pl.program_id(0)
-    S = b * sub
+    bb = pl.program_id(0)
     win_rows = _win_rows(sub)
 
     @pl.when(t == 0)
     def _():
-        for bb in range(b):
-            x_ref[bb * sub:(bb + 1) * sub] = states_ref[bb]
-            g_ref[bb] = g0_ref[bb, 0]
+        x_ref[:] = states_ref[0]
+        g_ref[0] = g0_ref[bb, 0]
 
-    # (sym, start, freq) lookup, tiled to 8-sublane blocks across the
-    # whole [S, 128] batch stack (see _cdf_dec_lookup8 for the VMEM
-    # rationale); results land in scratch so the fori body's stack is
-    # reused across tiles.
-    tpe = sub // 8                                   # lookup tiles per elem
-
-    def tile(i, _):
-        bb = i // tpe
-        off = pl.multiple_of((i % tpe) * 8, 8)
-        o8 = pl.multiple_of(i * 8, 8)
-        s8, start8, freq8 = _cdf_dec_lookup8(
-            rows_ref[bb, pl.ds(off, 8), :],
-            x_ref[pl.ds(o8, 8), :] & _SLOT_MASK,
-            cdf_hi_ref, cdf_lo_ref)
-        s_ref[pl.ds(o8, 8), :] = s8
-        st_ref[pl.ds(o8, 8), :] = start8
-        fr_ref[pl.ds(o8, 8), :] = freq8
-        return 0
-
-    jax.lax.fori_loop(0, S // 8, tile, 0)
-
-    x = x_ref[:]                                     # [S, 128] u32
+    x = x_ref[:]                                     # [sub, 128] u32
     slot = x & _SLOT_MASK
-    x = fr_ref[:] * (x >> PROB_BITS) + slot - st_ref[:]
+
+    s, start, freq = _tiled8(
+        _cdf_dec_lookup8,
+        lambda off: rows_ref[0, pl.ds(off, 8), :],
+        lambda off: x_ref[pl.ds(off, 8), :] & _SLOT_MASK,
+        cdf_hi_ref, cdf_lo_ref, sub, lk_refs)
+
+    x = freq * (x >> PROB_BITS) + slot - start
     # x < 2^16 as a sign-free test: Mosaic compares of uint32 can go
     # through signed lanes, so avoid ordered comparison on full-range u32.
     need = (x >> 16) == 0
     need_i = need.astype(jnp.int32)
-    nd_ref[:] = need_i
 
-    # rank = exclusive prefix count in lane order, PER ELEMENT (row-major
-    # [sub, 128] within each element's sublane band).  Mosaic has no
-    # cumsum; prefix sums become triangular matmuls (exact in f32: 0/1
-    # operands, sums <= K), with the cross-sublane mask BLOCK-diagonal so
-    # counts never leak between elements.
+    # rank = exclusive prefix count in lane order (row-major [8, 128]).
+    # Mosaic has no cumsum; prefix sums become lower-triangular matmuls
+    # (exact in f32: 0/1 operands, sums <= 1024).
     need_f = need_i.astype(jnp.float32)
     lt128 = (jax.lax.broadcasted_iota(jnp.int32, (128, 128), 0)
              <= jax.lax.broadcasted_iota(jnp.int32, (128, 128), 1)
              ).astype(jnp.float32)
     row_c = jax.lax.dot_general(
         need_f, lt128, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)          # [S, 128] inclusive
-    row_tot = row_c[:, 127:128]                      # [S, 1]
-    i_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 0)
-    j_s = jax.lax.broadcasted_iota(jnp.int32, (S, S), 1)
-    lt_s = ((i_s <= j_s) & (i_s // sub == j_s // sub)).astype(jnp.float32)
+        preferred_element_type=jnp.float32)          # [8, 128] inclusive
+    row_tot = row_c[:, 127:128]                      # [sub, 1]
+    lt_s = (jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 0)
+            <= jax.lax.broadcasted_iota(jnp.int32, (sub, sub), 1)
+            ).astype(jnp.float32)
     row_off = jax.lax.dot_general(
-        row_tot.reshape(1, S), lt_s,
+        row_tot.reshape(1, sub), lt_s,
         dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32).reshape(S, 1) - row_tot
-    rk_ref[:] = (row_off + row_c).astype(jnp.int32) - need_i
+        preferred_element_type=jnp.float32).reshape(sub, 1) - row_tot
+    rank = (row_off + row_c).astype(jnp.int32) - need_i  # [sub, 128]
 
-    # Per-element word feed: each element has its own cursor g and its
-    # own 128-aligned window of its word stream covering [g, g + K].
-    def wfeed(bb, _):
-        o = pl.multiple_of(bb * sub, 8)
-        g = g_ref[bb]
-        row0 = pl.multiple_of((g // 2048) * 16, 16)
-        # The u16 window may be sign-extended on load (Mosaic treats it
-        # as i16); & 0xFFFF recovers the unsigned word bits before the
-        # byte split (_split_hi_lo needs non-negative values).
-        win_i = (words_ref[bb, pl.ds(row0, win_rows), :].astype(jnp.int32)
-                 & 0xFFFF)
-        win_hi, win_lo = _split_hi_lo(win_i.astype(jnp.float32))
-        rank = rk_ref[pl.ds(o, sub), :]
-        idx = (g - row0 * 128) + rank                # in [0, win_rows*128)
-        wr = idx // 128
-        wl = idx % 128
-        oh_wr = (wr[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (sub, 128, win_rows), 2)).astype(jnp.float32)
-        tmp = _onehot_dot(oh_wr, win_hi, win_lo)     # [sub, 128, 128]
-        oh_wl = (wl[:, :, None] == jax.lax.broadcasted_iota(
-            jnp.int32, (sub, 128, 128), 2)).astype(jnp.float32)
-        wv_ref[pl.ds(o, sub), :] = jnp.sum(
-            tmp * oh_wl, axis=2).astype(jnp.int32).astype(jnp.uint32)
-        g_ref[bb] = g + jnp.sum(nd_ref[pl.ds(o, sub), :])
-        return 0
+    # 128-aligned window of the word stream covering [g, g + K]
+    g = g_ref[0]
+    row0 = pl.multiple_of((g // 2048) * 16, 16)
+    # The u16 window may be sign-extended on load (Mosaic treats it as
+    # i16); & 0xFFFF recovers the unsigned word bits before the byte
+    # split (_split_hi_lo needs non-negative values).
+    win_i = words_ref[0, pl.ds(row0, win_rows), :].astype(jnp.int32) & 0xFFFF
+    win_hi, win_lo = _split_hi_lo(win_i.astype(jnp.float32))
+    idx = (g - row0 * 128) + rank                    # in [0, win_rows*128)
+    wr = idx // 128
+    wl = idx % 128
+    oh_wr = (wr[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (sub, 128, win_rows), 2)).astype(jnp.float32)
+    tmp = _onehot_dot(oh_wr, win_hi, win_lo)         # [8, 128, 128] exact
+    oh_wl = (wl[:, :, None] == jax.lax.broadcasted_iota(
+        jnp.int32, (sub, 128, 128), 2)).astype(jnp.float32)
+    wv = jnp.sum(tmp * oh_wl, axis=2).astype(jnp.int32).astype(jnp.uint32)
 
-    jax.lax.fori_loop(0, b, wfeed, 0)
-
-    x = jnp.where(need, (x << 16) | wv_ref[:], x)
+    x = jnp.where(need, (x << 16) | wv, x)
     x_ref[:] = x
-    out_ref[0] = s_ref[:]
+    g_ref[0] = g + jnp.sum(need_i)
+    out_ref[0] = s
 
-    @pl.when(t == pl.num_programs(0) - 1)
+    @pl.when(t == pl.num_programs(1) - 1)
     def _():
-        for bb in range(b):
-            states_out_ref[bb] = x_ref[bb * sub:(bb + 1) * sub]
-            g_out_ref[bb, 0] = g_ref[bb]
+        states_out_ref[0] = x_ref[:]
+        g_out_ref[bb, 0] = g_ref[0]
 
 
 def _pallas_ok(n: int, k: int) -> bool:
@@ -647,16 +608,10 @@ def decode_batch(words: jax.Array, states: jax.Array, rows: jax.Array,
     fused frame stream (see decode_impl).
     """
     if method == "auto":
-        b = words.shape[0]
-        wr_rows = -(-words.shape[1] // 128) + 2 * _win_rows(k // 128)
-        wr_rows += (-wr_rows) % 16
-        # The batched kernel keeps all b word buffers VMEM-resident
-        # (payload-sized, known here) — budget them before routing.
-        vmem_ok = b * wr_rows * 128 * 2 <= 4 * 1024 * 1024
-        if (jax.default_backend() == "tpu" and _pallas_ok(n, k) and vmem_ok
+        if (jax.default_backend() == "tpu" and _pallas_ok(n, k)
                 and tables.cdf512_f32.shape[0] <= PROBE_ROWS
                 and pallas_runtime_ok("dec", k // 128,
-                                      tables.cdf512_f32.shape[1], b=b)):
+                                      tables.cdf512_f32.shape[1])):
             method = "pallas"
         else:
             method = _default_method()
@@ -703,52 +658,45 @@ def decode_pallas_batch(words: jax.Array, states: jax.Array,
         g0 = jnp.zeros((b,), jnp.int32)
     g02 = jnp.asarray(g0, jnp.int32).reshape(b, 1)
 
-    S = b * sub
     out, states_o, g_o = pl.pallas_call(
-        functools.partial(_decode_pallas_kernel, b, sub),
-        grid=(s_steps,),
+        functools.partial(_decode_pallas_kernel, sub),
+        grid=(b, s_steps),
         in_specs=[
-            pl.BlockSpec((b, sub, 128), lambda t: (0, t, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, wr_rows, 128), lambda t: (0, 0, 0),
+            pl.BlockSpec((1, wr_rows, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, sub, 128), lambda t: (0, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0),
+            pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec(cdf512_f32.shape,
-                         lambda t: (0, 0), memory_space=pltpu.VMEM),
+                         lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(cdf512_f32.shape,
-                         lambda t: (0, 0), memory_space=pltpu.VMEM),
+                         lambda bb, t: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, S, 128), lambda t: (t, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, t, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, sub, 128), lambda t: (0, 0, 0),
+            pl.BlockSpec((1, sub, 128), lambda bb, t: (bb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((b, 1), lambda t: (0, 0),
+            pl.BlockSpec((b, 1), lambda bb, t: (0, 0),
                          memory_space=pltpu.SMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((s_steps, S, 128), jnp.int32),
+            jax.ShapeDtypeStruct((b, s_steps * sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((b, sub, 128), jnp.uint32),
             jax.ShapeDtypeStruct((b, 1), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, 128), jnp.uint32),    # x (stream states)
-            pltpu.SMEM((b,), jnp.int32),         # g (word cursors)
-            pltpu.VMEM((S, 128), jnp.int32),     # sym
-            pltpu.VMEM((S, 128), jnp.uint32),    # start
-            pltpu.VMEM((S, 128), jnp.uint32),    # freq
-            pltpu.VMEM((S, 128), jnp.int32),     # rank
-            pltpu.VMEM((S, 128), jnp.uint32),    # fed words
-            pltpu.VMEM((S, 128), jnp.int32),     # need
-        ],
+            pltpu.VMEM((sub, 128), jnp.uint32),
+            pltpu.SMEM((1,), jnp.int32),
+        ] + ([pltpu.VMEM((sub, 128), jnp.int32),
+              pltpu.VMEM((sub, 128), jnp.uint32),
+              pltpu.VMEM((sub, 128), jnp.uint32)] if sub > 8 else []),
         interpret=interpret,
     )(rows3, w3, states3, g02, *_split_hi_lo(cdf512_f32))
-    # out[t, bb*sub + s, l] -> element bb, global symbol t*k + s*128 + l
-    syms = jnp.transpose(out.reshape(s_steps, b, sub, 128),
-                         (1, 0, 2, 3)).reshape(b, n_pad)[:, :n]
+    syms = out.reshape(b, n_pad)[:, :n]
     if return_carry:
         return syms, states_o.reshape(b, k), g_o.reshape(b)
     return syms
@@ -1034,8 +982,8 @@ PROBE_ROWS = 192
 
 
 def pallas_runtime_ok(kind: str, sub: int = _SUB,
-                      n_sym: int = 512, b: int = 1) -> bool:
-    got = _PALLAS_PROBE.get((kind, sub, n_sym, b))
+                      n_sym: int = 512) -> bool:
+    got = _PALLAS_PROBE.get((kind, sub, n_sym))
     if got is None:
         k = sub * 128
         try:
@@ -1055,23 +1003,19 @@ def pallas_runtime_ok(kind: str, sub: int = _SUB,
                     cdf512, n=k, k=k, pad_sym=0)
                 jax.block_until_ready(out[1])
             else:
-                # The batched decode kernel's structure depends on b
-                # (element-loop bounds, block shapes), so each batch
-                # width is probed once before auto mode trusts it.
                 out = decode_pallas_batch(
-                    jnp.zeros((b, 4096), jnp.uint16),
-                    jnp.full((b, k), RANS_L, jnp.uint32),
-                    jnp.zeros((b, k), jnp.int32), cdf512, n=k, k=k)
+                    jnp.zeros((1, 4096), jnp.uint16),
+                    jnp.full((1, k), RANS_L, jnp.uint32),
+                    jnp.zeros((1, k), jnp.int32), cdf512, n=k, k=k)
                 jax.block_until_ready(out)
             got = True
         except Exception as e:  # noqa: BLE001 — any lowering/compile error
             import warnings
 
-            warnings.warn(f"pallas {kind} kernel (K={k}, b={b}) "
-                          f"unavailable; using the XLA path "
-                          f"({type(e).__name__})")
+            warnings.warn(f"pallas {kind} kernel (K={k}) unavailable; "
+                          f"using the XLA path ({type(e).__name__})")
             got = False
-        _PALLAS_PROBE[(kind, sub, n_sym, b)] = got
+        _PALLAS_PROBE[(kind, sub, n_sym)] = got
     return got
 
 
