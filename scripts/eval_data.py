@@ -215,6 +215,81 @@ def _zoomgrain(n, h, w):
     return out
 
 
+def _bilerp(img, sy, sx):
+    """Bilinear sample img [H, W, 3] at float coords (sy, sx) [h, w]."""
+    H, W, _ = img.shape
+    sy = np.clip(sy, 0, H - 1.001)
+    sx = np.clip(sx, 0, W - 1.001)
+    iy, ix = sy.astype(np.int32), sx.astype(np.int32)
+    fy, fx = (sy - iy)[..., None], (sx - ix)[..., None]
+    iy1 = np.minimum(iy + 1, H - 1)
+    ix1 = np.minimum(ix + 1, W - 1)
+    return (img[iy, ix] * (1 - fy) * (1 - fx) + img[iy, ix1] * (1 - fy) * fx
+            + img[iy1, ix] * fy * (1 - fx) + img[iy1, ix1] * fy * fx)
+
+
+def _parallax(n, h, w):
+    """Third natural-composite family: two HELD-OUT photographic layers
+    panning at different velocities with an irregular foreground mask —
+    every frame DISOCCLUDES background content no reference frame fully
+    shows, the motion class hierarchical-B codecs find hardest (neither
+    warp can synthesize revealed pixels; alpha must hand them to the
+    conditional coder).  No training clip has occlusion layers."""
+    from photo_pool import heldout_pool
+
+    pool = heldout_pool()
+    if len(pool) < 2:
+        return _bounce(n, h, w)
+    rng = np.random.default_rng(9876)
+    bg, fg = pool[-1], pool[-2]
+    margin = 40
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    # irregular foreground mask: soft union of blobs, fixed in fg space
+    my = h * np.array([0.35, 0.6, 0.5])
+    mx = w * np.array([0.4, 0.55, 0.7])
+    rr = min(h, w) * np.array([0.22, 0.17, 0.14])
+    out = []
+    for t in range(n):
+        b = _bilerp(bg, yy + margin + 0.9 * t, xx + margin + 1.1 * t)
+        f = _bilerp(fg, yy + margin - 0.7 * t, xx + margin - 3.2 * t)
+        m = np.zeros((h, w), np.float32)
+        for cy, cx, r in zip(my, mx, rr):
+            d2 = ((yy - cy + 0.7 * t) ** 2 + (xx - cx + 3.2 * t) ** 2)
+            m = np.maximum(m, np.clip(1.6 - np.sqrt(d2) / r, 0, 1))
+        m = np.minimum(m, 1.0)[..., None]
+        fr = f * m + b * (1 - m)
+        fr = fr + rng.normal(scale=0.004, size=fr.shape)
+        out.append(_to_yuv(np.clip(fr, 0, 1).astype(np.float32)))
+    return out
+
+
+def _rotpan(n, h, w):
+    """Fourth natural-composite family: slow ROTATION about a moving
+    center over a HELD-OUT photograph — rotational flow is nowhere in
+    the training generator (pans and zooms only) and cannot be matched
+    by a single global translation, so the flow field must vary
+    per-pixel."""
+    from photo_pool import heldout_pool
+
+    pool = heldout_pool()
+    if not pool:
+        return _wheel(n, h, w)
+    rng = np.random.default_rng(6543)
+    img = pool[len(pool) // 2]
+    Hb, Wb, _ = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    out = []
+    for t in range(n):
+        ang = 0.007 * t                      # ~0.4 deg/frame
+        ca, sa = np.cos(ang), np.sin(ang)
+        cy, cx = Hb / 2.0 + 0.8 * t, Wb / 2.0 - 0.6 * t
+        dy, dx = yy - h / 2, xx - w / 2
+        fr = _bilerp(img, ca * dy - sa * dx + cy, sa * dy + ca * dx + cx)
+        fr = fr + rng.normal(scale=0.004, size=fr.shape)
+        out.append(_to_yuv(np.clip(fr, 0, 1).astype(np.float32)))
+    return out
+
+
 FAMILIES = {
     "wheel": _wheel,
     "bounce": _bounce,
@@ -224,6 +299,8 @@ FAMILIES = {
     "sinusoid": _sinusoid,
     "photowarp": _photowarp,
     "zoomgrain": _zoomgrain,
+    "parallax": _parallax,
+    "rotpan": _rotpan,
 }
 
 
