@@ -271,7 +271,13 @@ def _warp_bounded_kernel(hb, fb, w_img, src_ref, sx_ref, sy_ref, out_ref):
         top = v00 + (v01 - v00) * wx
         bot = v10 + (v11 - v10) * wx
         outs.append(top + (bot - top) * wy)
-    out_ref[0] = jnp.stack(outs, axis=-1)
+    # Channel rides a LEADING output dim: with channels minor the output
+    # layout is T(8,128) over (W, 3) and XLA pads 3 -> 128, a 42.7x HBM
+    # expansion — 7.97 GB per 1080p 8-frame warp, OOM with the two warps
+    # of a B-frame wave resident (caught on hardware; the caller
+    # moveaxes back to channel-last).
+    for ch in range(3):
+        out_ref[0, ch] = outs[ch]
 
 
 def _windows(src: jax.Array, hb: int) -> jax.Array:
@@ -340,10 +346,10 @@ def warp_bounded_pallas(packed: jax.Array, flow: jax.Array, fb: int,
             pl.BlockSpec((1, hb, LANE), lambda b, i, j: (b, i, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, hb, LANE, 3),
-                               lambda b, i, j: (b, i, j, 0),
+        out_specs=pl.BlockSpec((1, 3, hb, LANE),
+                               lambda b, i, j: (b, 0, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, H, Wp, 3), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, 3, H, Wp), jnp.float32),
         interpret=interpret,
     )(wins, sx, sy)
-    return out[:, :, :W, :]
+    return jnp.moveaxis(out[:, :, :, :W], 1, -1)
