@@ -224,6 +224,14 @@ def main():
         if time.time() + max(slowest, 30.0) > DEADLINE:
             _progress(f"deadline near; stopping after {rep} reps")
             break
+        if rep == 1 and "AIVC_PIPELINE_LOOKAHEAD" not in os.environ:
+            # Turn the software pipeline on only AFTER a lookahead-free
+            # rep has landed a safe number: the relay historically
+            # deadlocked on buffered in-flight programs (it tolerates
+            # them now, +6% fps), and a wedged rep must not cost the
+            # round its artifact — the watchdog emits the best-so-far.
+            os.environ["AIVC_PIPELINE_LOOKAHEAD"] = "2"
+            _progress("enabling pipeline lookahead 2 for later reps")
         t0 = time.time()
         res = encode_video(codec, frames, coding, wave_batch=wave_batch)
         e = time.time() - t0
