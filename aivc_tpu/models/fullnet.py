@@ -136,6 +136,12 @@ class FullNet(nn.Module):
             aux["beta"] = beta
             aux["v_prev"] = v_prev
             aux["v_next"] = v_next
+            # PRE-bound flow logits: once |raw| >> flow_bound the warp
+            # and softsign gradients are ~zero, so the only signal that
+            # can pull an exploded flow head back is an explicit penalty
+            # on raw (train/loss.py flow_penalty) — Adam normalizes its
+            # tiny-but-consistent gradient to full step size.
+            aux["flow_raw"] = out6[..., 2:6]
 
         cod_in = jnp.concatenate([frame, pred], axis=-1)
         cod_shortcut = pred if frame_type != FRAME_I else None

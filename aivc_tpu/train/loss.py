@@ -37,7 +37,8 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
                 dist_loss: str = "mse",
                 weight_i_frame_loss: float = 1.0,
                 nb_pad_frame: int = 0,
-                training: bool = True):
+                training: bool = True,
+                flow_penalty: float = 0.0):
     """frames444: list of [B, H, W, 3] padded frames in display order.
 
     Returns (loss, metrics dict).
@@ -92,6 +93,14 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
             flow_sum = flow_sum + jnp.mean(av)
             flow_max = jnp.maximum(flow_max, jnp.max(av))
             n_inter += 1
+            if flow_penalty > 0.0:
+                # Penalty on the PRE-bound logits: the round-3 explosion
+                # mode drives |raw| to ~1e3+ where warp clipping and
+                # softsign saturation zero every task gradient; |raw| is
+                # the one lever with a nonzero pull-back everywhere.
+                # Negligible when healthy (mean |raw| <~ 1).
+                total_loss = total_loss + flow_penalty * jnp.mean(
+                    jnp.abs(aux["flow_raw"]).astype(jnp.float32))
         else:
             mode_rate = jnp.float32(0.0)
 

@@ -302,6 +302,12 @@ def main():
                     help="prefetch threads (each with its own rng slot)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
+    ap.add_argument("--flow_penalty", type=float, default=0.0,
+                    help="L1 penalty weight on the PRE-bound flow logits "
+                         "(flow_bound models): the explosion mode drives "
+                         "|raw| to ~1e3+ where every task gradient is "
+                         "dead; 1e-4 is negligible when healthy and "
+                         "pulls a dead flow head back under Adam")
     ap.add_argument("--health_psnr", type=float, default=4.0,
                     help="abort (rc 3) and refuse checkpoints when mean "
                          "PSNR of the last 15 steps falls below this; "
@@ -364,7 +370,8 @@ def main():
             return s
         opt_state = _ff(opt_state)
         print(f"schedule fast-forwarded to step {args.step0}")
-    step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist)
+    step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist,
+                              flow_penalty=args.flow_penalty)
 
     rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), args.step0)
     n_rates = len(cfg.lambda_tradeoff)
@@ -398,11 +405,21 @@ def main():
     # sustained collapse aborts with rc 3 so the supervisor rolls back
     # to the last GOOD checkpoint with a fresh data stream.
     recent = deque(maxlen=15)
+    recent_flow = deque(maxlen=15)
+    # Flow-health bound: mean |v| pinned near the softsign bound means
+    # the motion path exploded (observed: 1.06 -> 22 px mean in 20 steps
+    # at step ~1630; PSNR alone stayed 18-25 because codecnet covers for
+    # the degenerate motion, so the PSNR guard never fires).
+    flow_limit = (0.25 * cfg.flow_bound
+                  if getattr(cfg, "flow_bound", 0.0) > 0 else float("inf"))
 
     def healthy():
-        return (not recent
-                or sum(recent) / len(recent) > args.health_psnr
-                or len(recent) < recent.maxlen)
+        if len(recent) < recent.maxlen:
+            return True
+        if recent_flow and (sum(recent_flow) / len(recent_flow)
+                            > flow_limit):
+            return False
+        return not recent or sum(recent) / len(recent) > args.health_psnr
 
     for step in range(args.step0, args.steps):
         frames_np, idx_rate = futs.popleft().result()
@@ -412,6 +429,7 @@ def main():
         params, opt_state, logs = step_fn(params, opt_state, frames,
                                           idx_rate, rng_s)
         recent.append(float(logs["psnr"]))
+        recent_flow.append(float(logs["flow_mag"]))
         if step % args.log_every == 0 or step == args.steps - 1:
             print(f"step {step:5d}  rate_idx {idx_rate}  "
                   f"loss {float(logs['loss']):.4f}  "
@@ -422,10 +440,11 @@ def main():
                   f"{float(logs['flow_max']):.1f}  "
                   f"({(time.time() - t0):.0f}s)", flush=True)
         if not healthy():
-            print(f"DIVERGED @ step {step}: mean psnr of last "
-                  f"{len(recent)} steps "
-                  f"{sum(recent) / len(recent):.2f} dB; aborting for "
-                  f"supervisor rollback", flush=True)
+            print(f"DIVERGED @ step {step}: last-{len(recent)}-step mean "
+                  f"psnr {sum(recent) / len(recent):.2f} dB, mean flow "
+                  f"{sum(recent_flow) / max(len(recent_flow), 1):.2f} px "
+                  f"(limit {flow_limit:.1f}); aborting for supervisor "
+                  f"rollback", flush=True)
             return 3
         if args.out and args.save_every and step and step % args.save_every == 0:
             save_checkpoint(args.out, cfg, params)
