@@ -136,12 +136,17 @@ class FullNet(nn.Module):
             aux["beta"] = beta
             aux["v_prev"] = v_prev
             aux["v_next"] = v_next
-            # PRE-bound flow logits: once |raw| >> flow_bound the warp
-            # and softsign gradients are ~zero, so the only signal that
-            # can pull an exploded flow head back is an explicit penalty
-            # on raw (train/loss.py flow_penalty) — Adam normalizes its
-            # tiny-but-consistent gradient to full step size.
-            aux["flow_raw"] = out6[..., 2:6]
+            # PRE-map synthesis logits, ALL SIX channels: once |raw| >>
+            # flow_bound the warp and softsign gradients are ~zero, so
+            # the only signal that can pull an exploded head back is an
+            # explicit penalty on raw (train/loss.py flow_penalty) —
+            # Adam normalizes its tiny-but-consistent gradient to full
+            # step size.  alpha/beta logits are included because their
+            # saturation objective (sigmoid never reaches exactly 1)
+            # drags the SHARED output scale upward without bound, and
+            # the flow channels ride the same trunk (exploded ckpts
+            # measured alpha logits ~2e16 alongside ~1e16 flows).
+            aux["flow_raw"] = out6
 
         cod_in = jnp.concatenate([frame, pred], axis=-1)
         cod_shortcut = pred if frame_type != FRAME_I else None
