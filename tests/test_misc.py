@@ -52,6 +52,41 @@ def test_loss_excludes_padded_frame_distortion():
     assert not np.isclose(float(logs_all["mse"]), float(logs_pad["mse"]))
 
 
+@pytest.mark.slow
+def test_loss_flow_telemetry_and_penalty():
+    """flow_mag/flow_max expose motion liveness (the round-3 explosion
+    was invisible in logs), and flow_penalty adds exactly the L1 of the
+    pre-map synthesis logits to the loss."""
+    import jax
+
+    from aivc_tpu.gop import generate_gop_struct
+    from aivc_tpu.models.zoo import TINY, init_fullnet
+    from aivc_tpu.train.loss import gop_rd_loss
+
+    model, params = init_fullnet(TINY, spatial=64)
+    gop = generate_gop_struct("LDP_2")
+    rng = jax.random.PRNGKey(0)
+    frames = [jax.random.uniform(jax.random.PRNGKey(i), (1, 64, 64, 3))
+              for i in range(3)]
+
+    l0, logs0 = gop_rd_loss(model, params, frames, gop, 0, rng,
+                            l_codec=0.01, l_mof=0.01, dist_loss="mse",
+                            training=False)
+    assert float(logs0["flow_mag"]) >= 0.0
+    assert float(logs0["flow_max"]) >= float(logs0["flow_mag"])
+    w = 0.125
+    l1, logs1 = gop_rd_loss(model, params, frames, gop, 0, rng,
+                            l_codec=0.01, l_mof=0.01, dist_loss="mse",
+                            training=False, flow_penalty=w)
+    # penalty strictly increases the loss and scales linearly with w
+    assert float(l1) > float(l0)
+    l2, _ = gop_rd_loss(model, params, frames, gop, 0, rng,
+                        l_codec=0.01, l_mof=0.01, dist_loss="mse",
+                        training=False, flow_penalty=2 * w)
+    np.testing.assert_allclose(float(l2) - float(l1), float(l1) - float(l0),
+                               rtol=1e-3)
+
+
 def test_stage_timer_report():
     import time
 
