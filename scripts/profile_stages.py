@@ -122,10 +122,17 @@ def main():
 
     # ---- device entropy backend (vrans fused stream) ----
     kk = codec._pick_k(ftype)
-    add(f"vrans enc fused (K={kk})",
+    add(f"vrans enc fused (K={kk}, xla)",
         timeit(lambda: codec._vrenc_fused_pb(
             z_qm, y_cqm[0], bins_m, z_qc, y_cqc[0], bins_c,
             codec.vr_enc, k=kk)))
+    n_total, _ = codec._fused_n(ftype, kk)
+    if codec._use_pallas_enc(n_total, kk):
+        # the route production actually takes on TPU
+        add(f"vrans enc fused (K={kk}, pallas)",
+            timeit(lambda: codec._vrenc_fused_pb_pal(
+                z_qm, y_cqm[0], bins_m, z_qc, y_cqc[0], bins_c,
+                codec.vr_dec.cdf512_f32, k=kk)))
     res = codec._vrenc_fused_pb(z_qm, y_cqm[0], bins_m, z_qc, y_cqc[0],
                                 bins_c, codec.vr_enc, k=kk)
     handles = {"k": k, "frame_type": ftype,
