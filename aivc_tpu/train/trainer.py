@@ -100,14 +100,15 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
         # and positive (observed round 3: loss ~5 with psnr -60..-112
         # compounding through the GOP reference chain for 1000+ steps).
         # Updates computed from an exploded forward are poison — skip.
-        # gnorm > 1e6: global-norm clipping preserves the DIRECTION of a
+        # gnorm > 1e5: global-norm clipping preserves the DIRECTION of a
         # garbage gradient; spikes of ~3e6 were observed immediately
-        # before a round-3 collapse while healthy training never
-        # exceeded ~1e5.  Skip the step instead of stepping 1.0 along a
-        # noise direction.
+        # before a round-3 collapse, and the round-3 continuation saw
+        # recurring PSNR collapses follow 1e5+ spikes while healthy
+        # steps stayed under ~8e4.  Skip the step instead of stepping
+        # 1.0 along a noise direction.
         ok = (jnp.isfinite(gnorm) & jnp.isfinite(loss)
               & (loss >= -1e-3) & (logs["psnr"] > -20.0)
-              & (gnorm < 1e6))
+              & (gnorm < 1e5))
         new_updates, new_opt_state = optimizer.update(grads, opt_state,
                                                       params)
         new_params = optax.apply_updates(params, new_updates)

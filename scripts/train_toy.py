@@ -349,7 +349,25 @@ def main():
         decay_steps=args.steps if args.lr_final else None,
         warmup_steps=args.warmup)
     opt_state = opt.init(params)
-    if args.step0:
+    # Optimizer-state persistence: every supervisor relaunch used to
+    # zero Adam's mu/nu, and the resume shock (full-size steps with no
+    # gradient-variance memory) seeded PSNR collapses within ~40 steps
+    # of some restarts.  The state rides next to the params (saved
+    # below), so rollbacks restore BOTH.
+    from flax import serialization as _ser
+
+    loaded_opt = False
+    if args.resume:
+        opt_path = Path(args.resume) / "opt_state.msgpack"
+        if opt_path.exists():
+            try:
+                opt_state = _ser.from_bytes(opt_state,
+                                            opt_path.read_bytes())
+                loaded_opt = True
+                print("resumed optimizer state")
+            except Exception as e:  # shape change (surgery): fresh state
+                print(f"optimizer state not loadable ({e}); fresh init")
+    if args.step0 and not loaded_opt:
         def _ff(s):
             # NB 'count' must be looked up in _fields: every tuple has a
             # .count METHOD, so hasattr(s, 'count') is always true.
@@ -448,6 +466,8 @@ def main():
             return 3
         if args.out and args.save_every and step and step % args.save_every == 0:
             save_checkpoint(args.out, cfg, params)
+            (Path(args.out) / "opt_state.msgpack").write_bytes(
+                _ser.to_bytes(opt_state))
             print(f"checkpoint @ step {step} -> {args.out}", flush=True)
         if (args.out and args.snapshot_every and step
                 and step % args.snapshot_every == 0):
@@ -457,6 +477,8 @@ def main():
 
     if args.out:
         save_checkpoint(args.out, cfg, params)
+        (Path(args.out) / "opt_state.msgpack").write_bytes(
+            _ser.to_bytes(opt_state))
         print(f"saved checkpoint to {args.out}")
     return 0
 
