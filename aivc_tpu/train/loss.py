@@ -61,6 +61,7 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
     # make the failure visible the step it starts.
     flow_sum = jnp.float32(0.0)
     flow_max = jnp.float32(0.0)
+    alpha_sum = jnp.float32(0.0)
     n_inter = 0
 
     for step, spec in enumerate(gop.coding_order):
@@ -92,6 +93,7 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
             av = jnp.abs(aux["v_prev"])
             flow_sum = flow_sum + jnp.mean(av)
             flow_max = jnp.maximum(flow_max, jnp.max(av))
+            alpha_sum = alpha_sum + jnp.mean(aux["alpha"])
             n_inter += 1
             if flow_penalty > 0.0:
                 # Penalty on the PRE-bound logits: the round-3 explosion
@@ -137,4 +139,9 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
     logs["psnr"] = 10.0 * jnp.log10(1.0 / jnp.maximum(logs["mse"], 1e-12))
     logs["flow_mag"] = flow_sum / max(n_inter, 1)
     logs["flow_max"] = flow_max
+    # Mask telemetry: the recurring forward collapse (PSNR ~8 with
+    # NORMAL bpp) pattern-matches a mask degeneracy (alpha -> 0 turns
+    # x_hat into codecnet_out + x_warp, roughly doubling the frame);
+    # logging mean alpha localizes it the step it starts.
+    logs["alpha_mean"] = alpha_sum / max(n_inter, 1)
     return total_loss, logs

@@ -460,6 +460,7 @@ def main():
                   f"gnorm {float(logs['grad_norm']):.2f}  "
                   f"flow {float(logs['flow_mag']):.2f}/"
                   f"{float(logs['flow_max']):.1f}  "
+                  f"alpha {float(logs['alpha_mean']):.2f}  "
                   f"({(time.time() - t0):.0f}s)", flush=True)
         if not healthy():
             print(f"DIVERGED @ step {step}: last-{len(recent)}-step mean "
