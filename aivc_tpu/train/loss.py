@@ -115,7 +115,16 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
             yuv_ref = _to_yuv(frame)
             mse = yuv_mse(yuv_hat, yuv_ref)
             if dist_loss == "ms_ssim":
-                dist = 1.0 - yuv_msssim(yuv_hat, yuv_ref)
+                # MS-SSIM is nearly blind to DC/luminance offsets (only
+                # the last scale carries a luminance term): a state with
+                # x_hat = frame + 0.45 scores ~0.97 MS-SSIM at 7 dB
+                # PSNR, and pure-MS-SSIM training drifted into exactly
+                # that every few hundred steps (loss 0.06, psnr 7,
+                # recurring "collapse" round 3 never root-caused).  A
+                # small MSE anchor prices the offset (healthy mse ~1e-3
+                # adds ~1% of dist; the offset state adds ~0.05) without
+                # changing the RD objective materially.
+                dist = 1.0 - yuv_msssim(yuv_hat, yuv_ref) + 0.25 * mse
             else:
                 dist = mse
 
