@@ -138,6 +138,7 @@ def pick_checkpoint() -> str:
     if ckpt:
         return ckpt
     for cand in ("/root/repo/models_ckpt/flagship",
+                 "/root/repo/models_ckpt/bf16-r4m",
                  "/root/repo/models_ckpt/bf16-r3",
                  "/root/repo/models_ckpt/bf16-r2"):
         if os.path.isdir(cand):

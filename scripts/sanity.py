@@ -44,7 +44,7 @@ import numpy as np
 GOLDEN_PATH = REPO / "docs" / "golden_sanity.json"
 # Mirrors the reference sanity coding config (RA, GOP 16, intra period
 # 32 — src/sanity_script.sh:9-11) on the held-out photowarp clip.
-GOLDEN_CFG = dict(ckpt="models_ckpt/bf16-r3", h=240, w=416, frames=33,
+GOLDEN_CFG = dict(ckpt="models_ckpt/bf16-r4m", h=240, w=416, frames=33,
                   gop_size=16, intra_period=32, idx_rate=4.0)
 
 
