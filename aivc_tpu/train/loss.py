@@ -19,7 +19,7 @@ from typing import Dict, List
 import jax
 import jax.numpy as jnp
 
-from aivc_tpu.config import FRAME_I
+from aivc_tpu.config import FRAME_B, FRAME_I
 from aivc_tpu.gop import GopStruct
 from aivc_tpu.models.fullnet import FullNet
 from aivc_tpu.ops.layers import x444_to_yuv420
@@ -38,7 +38,8 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
                 weight_i_frame_loss: float = 1.0,
                 nb_pad_frame: int = 0,
                 training: bool = True,
-                flow_penalty: float = 0.0):
+                flow_penalty: float = 0.0,
+                alpha_penalty: float = 0.0):
     """frames444: list of [B, H, W, 3] padded frames in display order.
 
     Returns (loss, metrics dict).
@@ -52,7 +53,7 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
 
     total_loss = 0.0
     logs = {"rate_bpp": 0.0, "mode_rate_bpp": 0.0, "codec_rate_bpp": 0.0,
-            "mse": 0.0, "dist": 0.0}
+            "mse": 0.0, "dist": 0.0, "dist_pure": 0.0}
     n_dist = n - nb_pad_frame
     # Motion-liveness telemetry: mean/max |flow| over inter frames.
     # Round 3's motion path silently re-exploded to ~1e16 px flows
@@ -90,11 +91,35 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
         if aux["mof"] is not None:
             mof = aux["mof"]
             mode_rate = (mof["rate_y"].sum() + mof["rate_z"].sum()) / (B * nb_pixel)
-            av = jnp.abs(aux["v_prev"])
+            # Both flow halves: a B-frame explosion confined to v_next
+            # would be invisible to v_prev-only telemetry (and would
+            # bypass the trainer's flow-health abort).  P-frames force
+            # v_next = 0, so only B-frames concatenate it.
+            if spec.frame_type == FRAME_B:
+                av = jnp.abs(jnp.concatenate(
+                    [aux["v_prev"], aux["v_next"]], axis=-1))
+            else:
+                av = jnp.abs(aux["v_prev"])
             flow_sum = flow_sum + jnp.mean(av)
             flow_max = jnp.maximum(flow_max, jnp.max(av))
             alpha_sum = alpha_sum + jnp.mean(aux["alpha"])
             n_inter += 1
+            if alpha_penalty > 0.0:
+                # Coding-mode revival (round-4): alpha has sat at exactly
+                # 1.0 since ~step 4k of every run — at logit ~5+ the
+                # sigmoid(4x) gradient is ~1e-8, so even on truly static
+                # scenes (where skip = x_warp is a free exact
+                # reconstruction) the RD gradient cannot walk alpha back.
+                # softplus on the POSITIVE side of the logit restores a
+                # non-vanishing downward pull (-> ~4w at saturation,
+                # ~0 for alpha < 0.5, so it never forces skip mode);
+                # once logits re-enter the trainable zone the RD
+                # objective decides per-pixel.  Adam normalizes the
+                # small-but-consistent gradient to a full step, same
+                # mechanism as flow_penalty.
+                total_loss = total_loss + alpha_penalty * jnp.mean(
+                    jax.nn.softplus(
+                        4.0 * aux["flow_raw"][..., 0:1]).astype(jnp.float32))
             if flow_penalty > 0.0:
                 # Penalty on the PRE-bound logits: the round-3 explosion
                 # mode drives |raw| to ~1e3+ where warp clipping and
@@ -110,6 +135,7 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
         if is_padded:
             dist = jnp.float32(0.0)
             mse = jnp.float32(0.0)
+            dist_pure = jnp.float32(0.0)
         else:
             yuv_hat = _to_yuv(x_hat)
             yuv_ref = _to_yuv(frame)
@@ -124,9 +150,15 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
                 # small MSE anchor prices the offset (healthy mse ~1e-3
                 # adds ~1% of dist; the offset state adds ~0.05) without
                 # changing the RD objective materially.
-                dist = 1.0 - yuv_msssim(yuv_hat, yuv_ref) + 0.25 * mse
+                # dist_pure = the un-anchored reference objective
+                # (1 - msssim), logged separately so eval comparisons
+                # against reference numbers stay apples-to-apples; the
+                # OPTIMIZED dist keeps the MSE anchor.
+                dist_pure = 1.0 - yuv_msssim(yuv_hat, yuv_ref)
+                dist = dist_pure + 0.25 * mse
             else:
                 dist = mse
+                dist_pure = mse
 
         cur = l_codec * codec_rate + l_mof * mode_rate + dist
         if spec.frame_type == FRAME_I:
@@ -138,6 +170,7 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
         logs["codec_rate_bpp"] += codec_rate
         logs["mse"] += mse
         logs["dist"] += dist
+        logs["dist_pure"] += dist_pure
 
     logs = {k: v / n for k, v in logs.items()}
     # Distortion averages exclude padded frames
@@ -145,6 +178,7 @@ def gop_rd_loss(model: FullNet, params, frames444: List[jax.Array],
     if n_dist > 0:
         logs["mse"] = logs["mse"] * n / n_dist
         logs["dist"] = logs["dist"] * n / n_dist
+        logs["dist_pure"] = logs["dist_pure"] * n / n_dist
     logs["psnr"] = 10.0 * jnp.log10(1.0 / jnp.maximum(logs["mse"], 1e-12))
     logs["flow_mag"] = flow_sum / max(n_inter, 1)
     logs["flow_max"] = flow_max

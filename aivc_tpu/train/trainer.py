@@ -52,7 +52,8 @@ def make_optimizer(lr: float = 1e-4, clip: float = 1.0,
 
 def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
                     optimizer, dist_loss: str | None = None,
-                    flow_penalty: float = 0.0):
+                    flow_penalty: float = 0.0,
+                    alpha_penalty: float = 0.0):
     """Build a jitted train step over a fixed GOP structure.
 
     The returned step has signature
@@ -80,7 +81,8 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
                 model, p, frame_list, gop, idx_rate, rng,
                 l_codec=lam, l_mof=lam, dist_loss=dist,
                 weight_i_frame_loss=cfg.weight_i_frame_loss,
-                flow_penalty=flow_penalty)
+                flow_penalty=flow_penalty,
+                alpha_penalty=alpha_penalty)
             return loss, logs
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

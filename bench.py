@@ -221,30 +221,46 @@ def main():
     reps = int(os.environ.get("BENCH_REPS", "3"))
     t_enc = t_dec = float("inf")
     slowest = 0.0
-    for rep in range(reps):
-        if time.time() + max(slowest, 30.0) > DEADLINE:
-            _progress(f"deadline near; stopping after {rep} reps")
-            break
-        if rep == 1 and "AIVC_PIPELINE_LOOKAHEAD" not in os.environ:
-            # Turn the software pipeline on only AFTER a lookahead-free
-            # rep has landed a safe number: the relay historically
-            # deadlocked on buffered in-flight programs (it tolerates
-            # them now, +6% fps), and a wedged rep must not cost the
-            # round its artifact — the watchdog emits the best-so-far.
-            os.environ["AIVC_PIPELINE_LOOKAHEAD"] = "2"
-            _progress("enabling pipeline lookahead 2 for later reps")
-        t0 = time.time()
-        res = encode_video(codec, frames, coding, wave_batch=wave_batch)
-        e = time.time() - t0
-        t0 = time.time()
-        materialize(decode_video(codec, res.bitstream,
-                                 wave_batch=wave_batch))
-        d = time.time() - t0
-        t_enc, t_dec = min(t_enc, e), min(t_dec, d)
-        slowest = max(slowest, e + d)
-        _record(n / (t_enc + t_dec), w, h, gop_size, cfg.name)
-        _progress(f"rep {rep}: enc {e:.1f}s dec {d:.1f}s "
-                  f"(best fps {n / (t_enc + t_dec):.2f})")
+    # Lookahead is enabled mid-loop via process-global env; restore the
+    # caller's value on exit and stamp each rep's progress line with the
+    # active setting so the artifact shows which reps mixed modes
+    # (advisor r3: a best-of-reps number silently mixed lookahead
+    # off/on, and the setting leaked to later code in the process).
+    la_prior = os.environ.get("AIVC_PIPELINE_LOOKAHEAD")
+    try:
+        for rep in range(reps):
+            if time.time() + max(slowest, 30.0) > DEADLINE:
+                _progress(f"deadline near; stopping after {rep} reps")
+                break
+            if rep == 1 and la_prior is None:
+                # Turn the software pipeline on only AFTER a
+                # lookahead-free rep has landed a safe number: the relay
+                # historically deadlocked on buffered in-flight programs
+                # (it tolerates them now, +6% fps), and a wedged rep must
+                # not cost the round its artifact — the watchdog emits
+                # the best-so-far.
+                os.environ["AIVC_PIPELINE_LOOKAHEAD"] = "2"
+                _progress("enabling pipeline lookahead 2 for later reps")
+            la = os.environ.get("AIVC_PIPELINE_LOOKAHEAD", "0")
+            t0 = time.time()
+            res = encode_video(codec, frames, coding,
+                               wave_batch=wave_batch)
+            e = time.time() - t0
+            t0 = time.time()
+            materialize(decode_video(codec, res.bitstream,
+                                     wave_batch=wave_batch))
+            d = time.time() - t0
+            t_enc, t_dec = min(t_enc, e), min(t_dec, d)
+            slowest = max(slowest, e + d)
+            _record(n / (t_enc + t_dec), w, h, gop_size, cfg.name)
+            _progress(f"rep {rep} (lookahead {la}): enc {e:.1f}s "
+                      f"dec {d:.1f}s "
+                      f"(best fps {n / (t_enc + t_dec):.2f})")
+    finally:
+        if la_prior is None:
+            os.environ.pop("AIVC_PIPELINE_LOOKAHEAD", None)
+        else:
+            os.environ["AIVC_PIPELINE_LOOKAHEAD"] = la_prior
 
     if profile_dir:
         jax.profiler.stop_trace()

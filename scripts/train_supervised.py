@@ -152,7 +152,8 @@ def main():
         # (seed, slot, step0), so varying seed per launch redraws the
         # trajectory while stall-kill resumes stay deterministic per
         # launch.
-        if "--seed" not in extra:
+        if not any(a == "--seed" or a.startswith("--seed=")
+                   for a in extra):
             cmd += ["--seed", str(restarts)]
         print(f"[supervisor] launch #{restarts}: steps "
               f"{done_prior}..{args.steps} (resume={resume or 'fresh'})",

@@ -181,13 +181,17 @@ def _sample_bilinear(tex: np.ndarray, sy: np.ndarray, sx: np.ndarray):
 def _new_scene(rng: np.random.Generator, size: int, margin: int):
     """Sample one scene: background affine motion + 0-2 foreground
     ellipses with independent translation (occlusion/disocclusion)."""
+    # 20% TRULY static scenes (zero translation AND zoom/rot) so the skip
+    # path sees content where x_warp reconstructs exactly for free: the
+    # old "static" draw zeroed only vbg, so residual zoom/rot still made
+    # skip lossy everywhere and alpha=1 stayed RD-optimal (VERDICT r3
+    # item 2 — the coding-mode mask never fired).
+    static = rng.random() < 0.20
     scene = {
         "bg": _texture(rng, size, margin),
-        # 15% static scenes so the skip path (alpha) sees zero motion
-        "vbg": (np.zeros(2) if rng.random() < 0.15
-                else rng.uniform(-2.5, 2.5, 2)),
-        "zoom": rng.uniform(-0.004, 0.004),
-        "rot": rng.uniform(-0.004, 0.004),
+        "vbg": np.zeros(2) if static else rng.uniform(-2.5, 2.5, 2),
+        "zoom": 0.0 if static else rng.uniform(-0.004, 0.004),
+        "rot": 0.0 if static else rng.uniform(-0.004, 0.004),
         # 20% of scenes reverse all motion at a random time (bounce-like;
         # without this, training motion is strictly linear in t and the
         # held-out velocity-reversal family is fully out-of-distribution)
@@ -199,10 +203,13 @@ def _new_scene(rng: np.random.Generator, size: int, margin: int):
             "tex": _texture(rng, size, margin),
             "c": rng.uniform(0.2, 0.8, 2) * size,
             "r": rng.uniform(0.08, 0.3, 2) * size,
-            "v": rng.uniform(-3.5, 3.5, 2),
+            # static scenes freeze the foregrounds too, else the moving
+            # ellipses keep skip lossy over most of the frame
+            "v": np.zeros(2) if static else rng.uniform(-3.5, 3.5, 2),
         })
-    # illumination drift: slow global gain oscillation (50% of scenes)
-    if rng.random() < 0.5:
+    # illumination drift: slow global gain oscillation (50% of moving
+    # scenes; static scenes stay exactly repeatable so skip is free)
+    if not static and rng.random() < 0.5:
         scene["illum"] = (rng.uniform(0.03, 0.15),
                           rng.uniform(0.15, 0.8), rng.uniform(0, 6.28))
     else:
@@ -302,6 +309,14 @@ def main():
                     help="prefetch threads (each with its own rng slot)")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--log_every", type=int, default=20)
+    ap.add_argument("--alpha_penalty", type=float, default=0.0,
+                    help="softplus penalty weight on the POSITIVE side of "
+                         "the alpha logit: the sigmoid(4x) mask saturates "
+                         "at 1.0 with ~1e-8 gradient, so the skip path "
+                         "can never re-engage without an explicit "
+                         "non-vanishing downward pull (round-4 VERDICT "
+                         "item 2); 2e-4 is negligible against distortion "
+                         "once alpha is in the trainable zone")
     ap.add_argument("--flow_penalty", type=float, default=0.0,
                     help="L1 penalty weight on the PRE-bound flow logits "
                          "(flow_bound models): the explosion mode drives "
@@ -389,7 +404,8 @@ def main():
         opt_state = _ff(opt_state)
         print(f"schedule fast-forwarded to step {args.step0}")
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist,
-                              flow_penalty=args.flow_penalty)
+                              flow_penalty=args.flow_penalty,
+                              alpha_penalty=args.alpha_penalty)
 
     rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), args.step0)
     n_rates = len(cfg.lambda_tradeoff)
@@ -409,10 +425,21 @@ def main():
     slot_rngs = [np.random.default_rng([args.seed, w, args.step0])
                  for w in range(workers)]
 
+    # Ladder-extreme oversampling (round-4 VERDICT item 4): uniform
+    # rate-index draws gave each extreme 1/7 of the steps and the gain
+    # vectors at idx 0-2 stayed undertrained — MS-SSIM regressed
+    # idx1 -> idx2 on the promoted flagship.  Mild weights keep the
+    # middle healthy while the extremes catch up.
+    if n_rates == 7:
+        rate_w = np.array([1.6, 1.35, 1.15, 1.0, 1.0, 1.1, 1.35])
+    else:
+        rate_w = np.ones(n_rates)
+    rate_p = rate_w / rate_w.sum()
+
     def gen(slot):
         r = slot_rngs[slot]
         return (make_batch(r, len(gop), args.batch, args.size),
-                int(r.integers(0, n_rates)))
+                int(r.choice(n_rates, p=rate_p)))
 
     futs = deque(ex.submit(gen, w) for w in range(workers))
     t0 = time.time()
