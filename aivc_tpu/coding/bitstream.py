@@ -116,18 +116,52 @@ def decode_y_chunk(data: bytes, shape: Tuple[int, int, int],
 # Frame framing
 # ---------------------------------------------------------------------------
 
-def pack_frame(chunks: Dict[str, bytes]) -> bytes:
+# In-band debug trailer magic: under --bitstream_debug each frame carries
+# md5 digests of its DECODED latent tensors after the 4 chunks, so drift
+# detection travels with the stream and the decoder can name the exact
+# latent that rotted (reference: src/real_life/bitstream.py:229-234,
+# 419-421,488-499 embeds per-latent md5s the same way).  Layout:
+#   [0xD5][count][count x (1-byte CHUNK_ORDER index, 16-byte md5)]
+DEBUG_TRAILER_MAGIC = 0xD5
+
+
+def latent_md5(arr: np.ndarray) -> bytes:
+    """16-byte md5 of a latent tensor in canonical int32 bytes (both
+    backends' int16/int32 views hash identically)."""
+    import hashlib
+
+    return hashlib.md5(
+        np.ascontiguousarray(np.asarray(arr).astype(np.int32))
+        .tobytes()).digest()
+
+
+def pack_frame(chunks: Dict[str, bytes],
+               digests: Dict[str, bytes] | None = None) -> bytes:
     """Concatenate the 4 length-prefixed chunks in canonical order.
-    Missing MOFNet chunks (I-frames) become zero-length placeholders."""
+    Missing MOFNet chunks (I-frames) become zero-length placeholders.
+    ``digests`` (chunk name -> 16-byte md5 of the decoded latent) appends
+    the in-band debug trailer."""
     out = bytearray()
     for name in CHUNK_ORDER:
         payload = chunks.get(name, b"")
         out.extend(len(payload).to_bytes(4, "big"))
         out.extend(payload)
+    if digests:
+        out.append(DEBUG_TRAILER_MAGIC)
+        out.append(len(digests))
+        for name in CHUNK_ORDER:
+            if name in digests:
+                dg = digests[name]
+                if len(dg) != 16:
+                    raise ValueError(f"digest for {name} must be 16 bytes")
+                out.append(CHUNK_ORDER.index(name))
+                out.extend(dg)
     return bytes(out)
 
 
 def unpack_frame(data: bytes) -> Dict[str, bytes]:
+    """Split a frame container; if the in-band debug trailer is present,
+    the returned dict carries the digest map under '__digests__'."""
     chunks = {}
     pos = 0
     for name in CHUNK_ORDER:
@@ -135,6 +169,14 @@ def unpack_frame(data: bytes) -> Dict[str, bytes]:
         pos += 4
         chunks[name] = data[pos:pos + n]
         pos += n
+    if pos < len(data) and data[pos] == DEBUG_TRAILER_MAGIC:
+        count = data[pos + 1]
+        pos += 2
+        digests = {}
+        for _ in range(count):
+            digests[CHUNK_ORDER[data[pos]]] = data[pos + 1:pos + 17]
+            pos += 17
+        chunks["__digests__"] = digests
     if pos != len(data):
         raise ValueError(f"trailing bytes in frame bitstream ({len(data) - pos})")
     return chunks

@@ -1228,6 +1228,43 @@ class FrameCodec:
             raise AssertionError(
                 f"device entropy coding not lossless: frame {i}")
 
+    def _wave_digests(self, handles):
+        """Per-frame in-band latent digests (debug mode): md5 of each
+        decoded latent tensor keyed by logical chunk name, embedded in the
+        frame container so drift detection travels WITH the stream and
+        the decoder names the exact latent that rotted (reference embeds
+        per-latent md5s the same way under its debug flag,
+        src/real_life/bitstream.py:229-234,419-421,488-499)."""
+        k = handles["k"]
+        digs = [dict() for _ in range(k)]
+        z_qc = np.asarray(handles["z_qc"], np.int32)
+        # y handles are (q16, ...) tuples — 3 host views on the host
+        # backend, 1 on the device backend; [0] is the int16 latent in
+        # both (see y_quant/y_quant_dev).
+        y_qc = np.asarray(handles["y_cqc"][0], np.int32)
+        for i in range(k):
+            digs[i]["codecnet_z"] = bs.latent_md5(z_qc[i])
+            digs[i]["codecnet_y"] = bs.latent_md5(y_qc[i])
+        if handles["frame_type"] != FRAME_I:
+            z_qm = np.asarray(handles["z_qm"], np.int32)
+            y_qm = np.asarray(handles["y_cqm"][0], np.int32)
+            for i in range(k):
+                digs[i]["mofnet_z"] = bs.latent_md5(z_qm[i])
+                digs[i]["mofnet_y"] = bs.latent_md5(y_qm[i])
+        return digs
+
+    @staticmethod
+    def _verify_latent(digests, i: int, name: str, arr) -> None:
+        """Decoder-side check of one in-band latent digest (no-op when the
+        stream carries none)."""
+        if digests[i] and name in digests[i]:
+            got = bs.latent_md5(arr)
+            if got != digests[i][name]:
+                raise ValueError(
+                    f"bitstream debug: latent md5 mismatch at frame {i} "
+                    f"chunk {name} — decoded latent differs from the "
+                    f"encoder's (corrupt or mismatched stream)")
+
     def encode_frames_finish(self, handles):
         """Host half of a launched wave.
 
@@ -1309,12 +1346,15 @@ class FrameCodec:
                 for i in range(k):
                     stats[i]["alpha_mean"] = float(a_means[i])
                     stats[i]["beta_mean"] = float(b_means[i])
+            digs = None
             if self.debug:
+                digs = self._wave_digests(handles)
                 for i in range(k):
                     self._debug_vr_frame(handles, per_frame_chunks[i], i)
             frame_bytes = []
             for i in range(k):
-                fb = bs.pack_frame(per_frame_chunks[i])
+                fb = bs.pack_frame(per_frame_chunks[i],
+                                   digs[i] if digs else None)
                 frame_bytes.append(fb)
                 stats[i]["bytes"] = len(fb)
                 # Per-net byte split from the fused stream's per-segment
@@ -1371,9 +1411,11 @@ class FrameCodec:
                 for i, name, fut in futs:
                     per_frame_chunks[i][name] = fut.result()
 
+        digs = self._wave_digests(handles) if self.debug else None
         frame_bytes = []
         for i in range(k):
-            fb = bs.pack_frame(per_frame_chunks[i])
+            fb = bs.pack_frame(per_frame_chunks[i],
+                               digs[i] if digs else None)
             frame_bytes.append(fb)
             c = per_frame_chunks[i]
             stats[i]["bytes"] = len(fb)
@@ -1412,6 +1454,10 @@ class FrameCodec:
         fused per-frame stream: ONE words push per wave; latents, sigma
         bins, stream states and word offsets never leave the device."""
         p = self.params
+        # In-band debug digests (if the stream carries them) cost one
+        # device->host pull per latent batch — debug streams only.
+        digests = [c.get("__digests__") for c in chunks]
+        check = any(digests)
         payloads = [c["codecnet_z"] for c in chunks]
         parsed = [vrans.parse_chunk_v2(pl) for pl in payloads]
         kk = parsed[0][2]
@@ -1481,6 +1527,11 @@ class FrameCodec:
                     k=kk, shape=yshape_m, bucket=bm)
             else:
                 y_cqm = jnp.zeros((k,) + yshape_m, jnp.int16)
+            if check:
+                zs, ys = np.asarray(z_qm), np.asarray(y_cqm)
+                for i in range(k):
+                    self._verify_latent(digests, i, "mofnet_z", zs[i])
+                    self._verify_latent(digests, i, "mofnet_y", ys[i])
             mof = self._mof_synth(p, y_cqm, mu_m, prev, nxt, rate,
                                   ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
@@ -1501,6 +1552,11 @@ class FrameCodec:
                 k=kk, shape=yshape_c, bucket=bc)
         else:
             y_cqc = jnp.zeros((k,) + yshape_c, jnp.int16)
+        if check:
+            zs, ys = np.asarray(z_qc), np.asarray(y_cqc)
+            for i in range(k):
+                self._verify_latent(digests, i, "codecnet_z", zs[i])
+                self._verify_latent(digests, i, "codecnet_y", ys[i])
         planes_dev, ref444 = self._cod_synth(p, y_cqc, mu_c, pred, skip,
                                              rate, ftype=frame_type)
         return self._split_decoded(planes_dev, ref444, k,
@@ -1530,6 +1586,7 @@ class FrameCodec:
             nxt = self._shard_batch(nxt)
         rate = jnp.float32(idx_rate)
         chunks = [bs.unpack_frame(fb) for fb in frame_bytes_list]
+        digests = [c.get("__digests__") for c in chunks]
 
         if (backend or self.backend) == "device":
             return self._decode_frames_device(chunks, prev, nxt, rate, k,
@@ -1554,6 +1611,9 @@ class FrameCodec:
                                              bins_np[ic[0]],
                                              self.laplace_rows),
                 list(enumerate(chunks))))
+            for i in range(k):
+                self._verify_latent(digests, i, "mofnet_z", z_qm[i])
+                self._verify_latent(digests, i, "mofnet_y", y_cqm[i])
             mof = self._mof_synth(p, jnp.asarray(y_cqm), mu_m, prev, nxt,
                                   rate, ftype=frame_type)
             pred, skip = mof["pred"], mof["skip"]
@@ -1567,6 +1627,9 @@ class FrameCodec:
             lambda ic: bs.decode_y_chunk(ic[1]["codecnet_y"], yshape_c,
                                          bins_np[ic[0]], self.laplace_rows),
             list(enumerate(chunks))))
+        for i in range(k):
+            self._verify_latent(digests, i, "codecnet_z", z_qc[i])
+            self._verify_latent(digests, i, "codecnet_y", y_cqc[i])
         planes_dev, ref444 = self._cod_synth(p, jnp.asarray(y_cqc), mu_c,
                                              pred, skip, rate,
                                              ftype=frame_type)

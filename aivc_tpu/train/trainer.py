@@ -53,7 +53,8 @@ def make_optimizer(lr: float = 1e-4, clip: float = 1.0,
 def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
                     optimizer, dist_loss: str | None = None,
                     flow_penalty: float = 0.0,
-                    alpha_penalty: float = 0.0):
+                    alpha_penalty: float = 0.0,
+                    mesh=None):
     """Build a jitted train step over a fixed GOP structure.
 
     The returned step has signature
@@ -63,11 +64,32 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
     dynamic indexing and lambda is gathered from the ladder, so all rate
     points share ONE compiled program (7 separate multi-minute remote
     compiles otherwise).
+
+    With ``mesh`` set, params/opt_state are pinned REPLICATED and frames
+    to the ('data', 'spatial') layout via explicit in/out shardings.
+    Without the pins, GSPMD's sharding propagation invented partitions
+    of the tiny per-channel parameter tensors along size-1 dims in the
+    BACKWARD pass (e.g. f32[1,1,9,1] factorized-prior/gain leaves
+    partitioned 4 ways), forcing "involuntary full rematerialization"
+    at every gradient accumulation (MULTICHIP_r03.json) and minutes of
+    extra SPMD compile time.
     """
     dist = dist_loss or cfg.dist_loss
     lambda_tuple = tuple(float(v) for v in cfg.lambda_tradeoff)
 
-    @jax.jit
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        rep = NamedSharding(mesh, P())
+        frames_s = NamedSharding(mesh, P(None, "data", "spatial", None, None))
+        jit_kw = dict(
+            in_shardings=(rep, rep, frames_s, None, rep),
+            out_shardings=(rep, rep, rep),
+        )
+    else:
+        jit_kw = {}
+
+    @functools.partial(jax.jit, **jit_kw)
     def train_step(params, opt_state, frames, idx_rate, rng):
         # Built inside the trace: a module-level/closure jnp array would be
         # a committed device buffer, which blocks XLA scan optimizations
@@ -86,6 +108,15 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
             return loss, logs
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        if mesh is not None:
+            # Pin the grad tree replicated: GSPMD's propagation otherwise
+            # invents partitions of tiny per-channel leaves along size-1
+            # dims inside the backward accumulation ("involuntary full
+            # rematerialization", MULTICHIP_r03).  Constraining the
+            # accumulated grads gives the propagation pass a replicated
+            # anchor on the whole transpose subgraph.
+            grads = jax.lax.with_sharding_constraint(
+                grads, jax.tree.map(lambda _: rep, grads))
         gnorm = optax.global_norm(grads)
         # Skip non-finite steps: clipping rescales AFTER the norm, so a
         # single inf/nan batch would otherwise poison params and optimizer

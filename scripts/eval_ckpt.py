@@ -116,11 +116,18 @@ def main():
                 psnrs.append(m["psnr"])
                 mss.append(m["ms_ssim"])
                 if args.per_clip:
+                    # alpha over INTER frames only: the coding-mode mask
+                    # (VERDICT r3 item 2 — revived when < 0.95 on static
+                    # content); I-frames report the constant 1.0.
+                    inter_a = [fr.alpha_mean for fr in res.frame_results
+                               if fr.frame_type != 0]
                     print(json.dumps({
                         "ckpt": ckpt, "clip": cname, "idx_rate": r,
                         "bpp": round(float(bpps[-1]), 4),
                         "psnr": round(float(m["psnr"]), 3),
-                        "ms_ssim": round(float(m["ms_ssim"]), 5)}),
+                        "ms_ssim": round(float(m["ms_ssim"]), 5),
+                        "alpha_mean": round(float(np.mean(inter_a)), 4)
+                        if inter_a else 1.0}),
                         flush=True)
             row = {"ckpt": ckpt, "idx_rate": r,
                    "bpp": round(float(np.mean(bpps)), 4),

@@ -290,6 +290,35 @@ def _rotpan(n, h, w):
     return out
 
 
+def _staticcam(n, h, w):
+    """Static-camera family (round-4: the skip/coding-mode capability
+    check).  A HELD-OUT photographic scene with NO motion at all and
+    mild per-frame sensor noise — the content where the reference's
+    per-pixel skip mode pays: x_warp reconstructs the scene for free and
+    only the noise (or nothing) needs coding.  Mean alpha < 0.95 here is
+    the VERDICT r3 'mask revived' criterion."""
+    from photo_pool import heldout_pool
+
+    pool = heldout_pool()
+    if not pool:
+        # deterministic fallback: a frozen plasma frame
+        still = _plasma(1, h, w) * n
+        return still
+    rng = np.random.default_rng(4321)
+    img = pool[2 % len(pool)]
+    Hb, Wb, _ = img.shape
+    y0, x0 = max(0, (Hb - h) // 2), max(0, (Wb - w) // 2)
+    crop = img[y0:y0 + h, x0:x0 + w]
+    if crop.shape[:2] != (h, w):  # photo smaller than target: tile
+        crop = np.tile(crop, (h // crop.shape[0] + 1,
+                              w // crop.shape[1] + 1, 1))[:h, :w]
+    out = []
+    for _ in range(n):
+        f = crop + rng.normal(scale=0.003, size=crop.shape)
+        out.append(_to_yuv(np.clip(f, 0, 1).astype(np.float32)))
+    return out
+
+
 FAMILIES = {
     "wheel": _wheel,
     "bounce": _bounce,
@@ -301,6 +330,7 @@ FAMILIES = {
     "zoomgrain": _zoomgrain,
     "parallax": _parallax,
     "rotpan": _rotpan,
+    "staticcam": _staticcam,
 }
 
 

@@ -151,6 +151,15 @@ def main():
 
     n_pix = h * w
     points = []
+    # Warm-up: all rate points share ONE compiled program (idx_rate is
+    # traced), so a single unrecorded pass over one GOP's worth of frames
+    # takes the compile out of every row's enc_fps (VERDICT r3: the idx0
+    # row used to read 0.048 fps vs 2.88 steady-state).
+    warm = CodingConfig(
+        coding_config=args.coding_config, gop_size=args.gop_size,
+        intra_period=args.intra_period, idx_rate=rates[0])
+    encode_video(codec, frames[:min(len(frames), args.gop_size + 1)],
+                 warm, wave_batch=args.wave_batch)
     t0 = _time.time()
     for idx_rate in rates:
         coding = CodingConfig(
