@@ -105,6 +105,21 @@ class ConditionalNetConfig:
     # [1/16, 16]; healthy nets run ~0.8-1.2, so it never engages for
     # them (ops/gdn.py:gdn_apply).
     gdn_clamp: float = 0.0
+    # Lane-pack factor G for the synthesis OUTPUT head conv (0/1 = plain
+    # conv).  The 4*out_c-channel head (24 maps / 12 pixels) uses 24/128
+    # or 12/128 MXU lanes; packing G output columns into lanes runs it
+    # ~3x faster at identical math (ops/layers.py:LanePackedConv).
+    # INFERENCE-side switch: FrameCodec sets it from the
+    # AIVC_PACKED_HEAD env (training keeps the plain conv); it is a
+    # compute-schedule choice, not a model property, so checkpoints
+    # saved with it set still decode identically without it.
+    head_lane_pack: int = 0
+    # Low-precision GDN parameter path (inference): cast beta/gamma to
+    # the activation dtype so the norm einsum runs native bf16 instead
+    # of materializing an f32 copy of x^2 (ops/gdn.py:gdn_apply lowp).
+    # Like head_lane_pack this is a compute-schedule switch set by
+    # FrameCodec, not a model property; training keeps f32 parameters.
+    gdn_lowp: bool = False
 
     @property
     def mixture_k(self) -> int:

@@ -58,11 +58,14 @@ class AnalysisTransform(nn.Module):
     use_attention: bool = True
     dtype: str = "float32"
     gdn_clamp: float = 0.0
+    gdn_lowp: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         d = self.dtype
         gdn = "gdn" if not self.gdn_clamp else f"gdn@{self.gdn_clamp}"
+        if self.gdn_lowp:
+            gdn += "!lp"
         x = x.astype(d)
         x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity=gdn,
                       dtype=d)(x)
@@ -88,12 +91,20 @@ class SynthesisTransform(nn.Module):
     use_attention: bool = True
     dtype: str = "float32"
     gdn_clamp: float = 0.0
+    # Lane-pack the OUTPUT head conv (4*out_ft channels — 24/12 for the
+    # map/pixel heads, 7-19x under the MXU's 128 lanes); see
+    # ops/layers.py:LanePackedConv.  0 = plain conv (training default);
+    # FrameCodec enables it for inference via ConditionalNetConfig.
+    head_lane_pack: int = 0
+    gdn_lowp: bool = False
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
         d = self.dtype
         igdn = ("gdn_inverse" if not self.gdn_clamp
                 else f"gdn_inverse@{self.gdn_clamp}")
+        if self.gdn_lowp:
+            igdn += "!lp"
         y = y.astype(d)
         y = UpBlock(self.nb_ft, self.k_size, non_linearity=igdn,
                     dtype=d)(y)
@@ -103,7 +114,8 @@ class SynthesisTransform(nn.Module):
                     dtype=d)(y)
         y = UpBlock(self.nb_ft, self.k_size, non_linearity=igdn,
                     dtype=d)(y)
-        y = UpBlock(self.out_ft, self.k_size, non_linearity="no", dtype=d)(y)
+        y = UpBlock(self.out_ft, self.k_size, non_linearity="no", dtype=d,
+                    lane_pack=self.head_lane_pack)(y)
         return y.astype(jnp.float32)
 
 
@@ -148,16 +160,20 @@ class ConditionalNet(nn.Module):
         c = self.cfg
         d = c.dtype
         clamp = getattr(c, "gdn_clamp", 0.0)
+        lowp = getattr(c, "gdn_lowp", False)
         self.g_a = AnalysisTransform(c.nb_ft, c.nb_ft_y, c.k_size,
                                      c.use_attention, dtype=d,
-                                     gdn_clamp=clamp)
+                                     gdn_clamp=clamp, gdn_lowp=lowp)
         if c.in_c_shortcut > 0:
             self.g_a_ref = AnalysisTransform(
                 c.nb_ft, c.out_c_shortcut_y, c.k_size, use_attention=False,
-                dtype=d, gdn_clamp=clamp)
+                dtype=d, gdn_clamp=clamp, gdn_lowp=lowp)
         self.g_s = SynthesisTransform(c.nb_ft, c.out_c, c.k_size,
                                       c.use_attention, dtype=d,
-                                      gdn_clamp=clamp)
+                                      gdn_clamp=clamp,
+                                      head_lane_pack=getattr(
+                                          c, "head_lane_pack", 0),
+                                      gdn_lowp=lowp)
         self.h_a = HyperAnalysis(c.nb_ft_z, c.nb_ft_z, dtype=d)
         self.h_s = HyperSynthesis(c.nb_ft_y, c.sigma_cond_c, dtype=d)
         self.pdf_z = FactorizedPrior(c.nb_ft_z)

@@ -55,7 +55,8 @@ def gdn_params_init(ch: int):
 
 
 def gdn_apply(x: jax.Array, beta_r: jax.Array, gamma_r: jax.Array,
-              inverse: bool, clamp: float = 0.0) -> jax.Array:
+              inverse: bool, clamp: float = 0.0,
+              lowp: bool = False) -> jax.Array:
     """Apply (I)GDN to NHWC input given reparameterised beta/gamma.
 
     clamp > 0 bounds the per-element multiplier to [1/clamp, clamp]:
@@ -71,6 +72,19 @@ def gdn_apply(x: jax.Array, beta_r: jax.Array, gamma_r: jax.Array,
 
     beta = lower_bound(beta_r, beta_bound) ** 2 - PEDESTAL
     gamma = lower_bound(gamma_r, gamma_bound) ** 2 - PEDESTAL
+
+    if lowp and x.dtype != jnp.float32:
+        # Inference fast path: cast the PARAMETERS down instead of the
+        # activations up.  The mixed-dtype einsum (bf16 x2, f32 gamma)
+        # otherwise makes XLA materialize an f32 copy of the full x^2
+        # tensor — 3.2 GB of pure convert/copy traffic per 1080p wave-8
+        # synthesis stage (trace: gdn.py convert_element_type copies,
+        # ~20 ms/stage).  Accumulation stays f32 via
+        # preferred_element_type; only the ~1e-3-relative parameter
+        # rounding changes, and enc/dec share programs so the closed
+        # loop is unaffected.  Training keeps the f32 path.
+        gamma = gamma.astype(x.dtype)
+        beta = beta.astype(x.dtype)
 
     # norm[o] = beta[o] + sum_i gamma[o, i] * x[i]^2  -> NHWC matmul on gamma^T
     norm = jnp.einsum(
@@ -89,13 +103,15 @@ class GDN(nn.Module):
     ch: int
     inverse: bool = False
     clamp: float = 0.0
+    lowp: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         beta0, gamma0 = gdn_params_init(self.ch)
         beta_r = self.param("beta", lambda _: beta0)
         gamma_r = self.param("gamma", lambda _: gamma0)
-        return gdn_apply(x, beta_r, gamma_r, self.inverse, self.clamp)
+        return gdn_apply(x, beta_r, gamma_r, self.inverse, self.clamp,
+                         self.lowp)
 
 
 # ---------------------------------------------------------------------------

@@ -30,14 +30,20 @@ def replication_pad(x: jax.Array, pad: int) -> jax.Array:
 
 def _nonlinearity(name: str, ch: int) -> Optional[Callable]:
     # "gdn@16" / "gdn_inverse@16": multiplier clamp (ops/gdn.py:gdn_apply)
+    # "...!lp" suffix: low-precision parameter path (inference codecs —
+    # see gdn_apply lowp)
+    lowp = False
+    if name.startswith("gdn") and name.endswith("!lp"):
+        name = name[:-3]
+        lowp = True
     clamp = 0.0
     if name.startswith("gdn") and "@" in name:
         name, c = name.split("@", 1)
         clamp = float(c)
     if name == "gdn":
-        return GDN(ch, inverse=False, clamp=clamp)
+        return GDN(ch, inverse=False, clamp=clamp, lowp=lowp)
     if name == "gdn_inverse":
-        return GDN(ch, inverse=True, clamp=clamp)
+        return GDN(ch, inverse=True, clamp=clamp, lowp=lowp)
     if name == "leaky_relu":
         return lambda x: jax.nn.leaky_relu(x, 0.01)
     if name == "relu":
@@ -77,6 +83,72 @@ def depth_to_space2(x: jax.Array) -> jax.Array:
     return x.reshape(B, 2 * H, 2 * W, C)
 
 
+class LanePackedConv(nn.Conv):
+    """nn.Conv drop-in (identical parameter tree) that computes a
+    FEW-OUTPUT-CHANNEL conv as a lane-packed strided wide conv.
+
+    A stride-1 KxK conv with F output channels lowers to a GEMM with
+    N = F lanes; the MXU is 128 lanes wide, so the synthesis OUTPUT
+    heads (F = 4*6 = 24 maps for MOFNet, 4*3 = 12 for CodecNet) cap MXU
+    utilization at 19% / 9% — measured 7-8% of peak at 1080p
+    (scripts/conv_probe.py, the worst stage of the round-3 profile).
+
+    Packing G adjacent output COLUMNS into the lane dim fixes the shape:
+    the kernel widens to K+G-1 taps (tap g..g+K-1 holds output g's
+    weights, zero elsewhere), the conv strides G columns, and produces
+    G*F channels that reshape back to the original layout.  FLOPs grow
+    (K+G-1)/K but lane utilization grows G-fold: at F=12, G=8 the GEMM
+    runs 96/128 lanes instead of 12/128 — ~3x net.  Same math, same
+    parameters; accumulation order differs, so outputs match the plain
+    conv only to float tolerance (enc/dec share programs, so the
+    closed-loop bit-exactness contract is unaffected).
+    """
+
+    pack: int = 1
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        k_h, k_w = self.kernel_size
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", self.kernel_init, (k_h, k_w, cin, self.features))
+        bias = (self.param("bias", self.bias_init, (self.features,))
+                if self.use_bias else None)
+        G = self.pack
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        kernel = kernel.astype(dt)
+        B, H, Wp, _ = x.shape
+        W = Wp - (k_w - 1)  # VALID output width of the plain conv
+        if G <= 1 or W % G:
+            out = jax.lax.conv_general_dilated(
+                x, kernel, (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        else:
+            F = self.features
+            wide = jnp.zeros((k_h, k_w + G - 1, cin, G, F), dt)
+            for g in range(G):
+                wide = wide.at[:, g:g + k_w, :, g, :].set(kernel)
+            wide = wide.reshape(k_h, k_w + G - 1, cin, G * F)
+            out = jax.lax.conv_general_dilated(
+                x, wide, (1, G), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            out = out.reshape(B, H - (k_h - 1), W // G, G, F)
+            out = out.reshape(B, H - (k_h - 1), W, F)
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
+
+
+def head_lane_pack_auto(out_ft: int) -> int:
+    """Largest power-of-2 G with G*4*out_ft <= 128 (the padded frame
+    width is a multiple of 64, so W/2 divides by every such G)."""
+    g = 1
+    while 2 * g * 4 * out_ft <= 128:
+        g *= 2
+    return g
+
+
 class UpBlock(nn.Module):
     """Exact x2 upsampling + nonlinearity
     (role of the reference UpscalingLayer, custom_conv_layers.py:183-253).
@@ -85,6 +157,8 @@ class UpBlock(nn.Module):
     TPU-native choice; stride-2 transposed convs lower to input-dilated
     convolutions that waste 4x MXU work on inserted zeros.
     mode='tconv': the reference-style transposed conv.
+    lane_pack=G > 1: route the conv through LanePackedConv (few-output
+    heads only; see its docstring).
     """
 
     out_ft: int
@@ -92,14 +166,24 @@ class UpBlock(nn.Module):
     non_linearity: str = "leaky_relu"
     dtype: str = "float32"
     mode: str = "shuffle"
+    lane_pack: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         if self.mode == "shuffle":
             pad = self.k_size // 2
             x = replication_pad(x, pad)
-            x = nn.Conv(4 * self.out_ft, (self.k_size, self.k_size),
-                        padding="VALID", dtype=self.dtype)(x)
+            # Both branches scope their parameters under "Conv_0", so
+            # checkpoints load identically whichever path is active.
+            if self.lane_pack > 1:
+                x = LanePackedConv(4 * self.out_ft,
+                                   (self.k_size, self.k_size),
+                                   padding="VALID", dtype=self.dtype,
+                                   pack=self.lane_pack, name="Conv_0")(x)
+            else:
+                x = nn.Conv(4 * self.out_ft, (self.k_size, self.k_size),
+                            padding="VALID", dtype=self.dtype,
+                            name="Conv_0")(x)
             x = depth_to_space2(x)
         else:
             x = nn.ConvTranspose(self.out_ft, (self.k_size, self.k_size),

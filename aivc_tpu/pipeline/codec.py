@@ -158,6 +158,35 @@ class FrameCodec:
                  entropy_backend: str = "device",
                  rate_priority: bool = False,
                  audit: bool = False):
+        import dataclasses as _dc
+        import os as _os0
+
+        # Lane-pack the synthesis output heads for inference (see
+        # config.py:head_lane_pack / ops/layers.py:LanePackedConv): the
+        # 24/12-channel head convs were the worst MXU stages at 1080p
+        # (7-8% of peak, scripts/conv_probe.py).  Same parameters, same
+        # math; enc/dec share the packed programs so the closed-loop
+        # bit-exactness contract holds.  AIVC_PACKED_HEAD=0 restores the
+        # plain conv.
+        if _os0.environ.get("AIVC_PACKED_HEAD", "1") != "0":
+            from aivc_tpu.ops.layers import head_lane_pack_auto
+
+            cfg = _dc.replace(
+                cfg,
+                mofnet=_dc.replace(
+                    cfg.mofnet,
+                    head_lane_pack=head_lane_pack_auto(cfg.mofnet.out_c)),
+                codecnet=_dc.replace(
+                    cfg.codecnet,
+                    head_lane_pack=head_lane_pack_auto(cfg.codecnet.out_c)))
+        # Low-precision GDN parameters for bf16 codecs (AIVC_GDN_LOWP=0
+        # restores the f32 path) — removes the f32 materialization of
+        # x^2 in every GDN/IGDN (see config.py:gdn_lowp).
+        if _os0.environ.get("AIVC_GDN_LOWP", "1") != "0":
+            cfg = _dc.replace(
+                cfg,
+                mofnet=_dc.replace(cfg.mofnet, gdn_lowp=True),
+                codecnet=_dc.replace(cfg.codecnet, gdn_lowp=True))
         self.cfg = cfg
         # Rate audit: attach per-frame analytic bits (under the coder's
         # own quantized CDFs) to the encode stats, so sequence-level

@@ -83,6 +83,23 @@ def run_conv(x, w, k: int, stride: int, mode: str):
         out = jax.lax.conv_general_dilated(
             xf, w, (stride, stride), "SAME", dimension_numbers=dn)
         out = out.reshape(B, H // stride, W // stride, -1)
+    elif mode == "packed":
+        # Lane-packed head (ops/layers.py:LanePackedConv): G output
+        # columns into lanes via a wider strided kernel.
+        B, H, W, C = x.shape
+        cout = w.shape[-1]
+        G = 1
+        while 2 * G * cout <= 128 and (W % (2 * G)) == 0:
+            G *= 2
+        p = k // 2
+        xp = replication_pad(x, p)
+        wide = jnp.zeros((k, k + G - 1, C, G, cout), x.dtype)
+        for g in range(G):
+            wide = wide.at[:, g:g + k, :, g, :].set(w)
+        wide = wide.reshape(k, k + G - 1, C, G * cout)
+        out = jax.lax.conv_general_dilated(
+            xp, wide, (1, G), "VALID", dimension_numbers=dn)
+        out = out.reshape(B, H, W // G, G, cout).reshape(B, H, W, cout)
     elif mode == "dot25":
         # stride-1 only: accumulate k*k shifted GEMMs on zero-padded x.
         B, H, W, C = x.shape

@@ -25,6 +25,11 @@ from aivc_tpu.pipeline.video import decode_video, encode_video
 
 import jax
 
+# Every test here compiles multiple FrameCodec program sets (different
+# ac_max_val alphabets); ~8 min of the old default tier's 18 on the CI
+# box (VERDICT r3 item 10) — slow tier.
+pytestmark = pytest.mark.slow
+
 
 def _clip(h=48, w=64, n=5, seed=3):
     rng = np.random.default_rng(seed)

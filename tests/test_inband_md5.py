@@ -40,6 +40,7 @@ def test_latent_md5_dtype_invariant():
     assert bs.latent_md5(a16) == bs.latent_md5(a32) == bs.latent_md5(af)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("backend", ["host", "device"])
 def test_debug_stream_carries_digests_and_decodes(backend):
     _, params = init_fullnet(TINY, spatial=64)
@@ -67,6 +68,7 @@ def test_debug_stream_carries_digests_and_decodes(backend):
                 dec[idx][k], res.decoded_frames[idx][k])
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("chunk", ["mofnet_y", "codecnet_z"])
 def test_corrupt_latent_is_named_at_decode(chunk):
     """Corrupting one latent's in-band digest makes the decoder raise an

@@ -61,6 +61,7 @@ def test_bounded_rejects_oversized_bound():
         warp_bounded_pallas(packed, flow, fb=FB_MAX + 1, interpret=True)
 
 
+@pytest.mark.slow
 def test_flow_bound_model_roundtrip():
     """End-to-end bit-exact enc/dec with a flow_bound + gdn_clamp model
     (the healthy-motion parameterization) on the CPU packed-warp path."""
