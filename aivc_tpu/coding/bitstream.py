@@ -219,8 +219,15 @@ class VideoHeader:
     # decoder holding a model with a different alphabet fails loudly
     # instead of producing garbage latents.
     ac_log2: int = 8
+    # Compute-schedule bits (bit0 = lane-packed synthesis heads, bit1 =
+    # low-precision GDN params).  The schedule changes floating-point
+    # sum order, so the decoder must run the SAME schedule to reproduce
+    # the encoder's reconstructions bit-exactly; recording it makes the
+    # stream self-describing and lets a mismatched decoder fail loudly
+    # instead of drifting through the GOP reference chain.
+    sched: int = 0
 
-    SIZE = 21
+    SIZE = 22
 
     def pack(self) -> bytes:
         if not (1 <= self.wave_batch <= 255):
@@ -228,13 +235,13 @@ class VideoHeader:
         vals = (self.h_x, self.w_x, self.h_y, self.w_y, self.h_z, self.w_z,
                 self.nb_gop, self.idx_first_frame, self.idx_last_frame)
         return b"".join(v.to_bytes(2, "big") for v in vals) + bytes(
-            [self.backend, self.wave_batch, self.ac_log2])
+            [self.backend, self.wave_batch, self.ac_log2, self.sched])
 
     @classmethod
     def unpack(cls, data: bytes) -> "VideoHeader":
         vals = [int.from_bytes(data[2 * i:2 * i + 2], "big") for i in range(9)]
         return cls(*vals, backend=data[18], wave_batch=max(1, data[19]),
-                   ac_log2=data[20] or 8)
+                   ac_log2=data[20] or 8, sched=data[21])
 
     @property
     def data_dim(self) -> Dict[str, Tuple[int, int]]:

@@ -1676,6 +1676,27 @@ class FrameCodec:
             backend=backend)[0]
 
     # ------------------------------------------------------------------
+    @property
+    def sched_bits(self) -> int:
+        """Compute-schedule byte recorded in the video header (bit0 =
+        lane-packed heads, bit1 = low-precision GDN) — part of the
+        bit-exact decode contract, like wave_batch."""
+        return ((1 if self.cfg.codecnet.head_lane_pack > 1 else 0)
+                | (2 if self.cfg.codecnet.gdn_lowp else 0))
+
+    def check_sched(self, header: bs.VideoHeader) -> None:
+        """Raise if this codec's compute schedule differs from the
+        stream's: the schedule changes float sum order, so a mismatched
+        decoder would drift from the encoder's reconstructions through
+        the GOP reference chain instead of failing."""
+        if header.sched != self.sched_bits:
+            raise ValueError(
+                f"bitstream compute schedule {header.sched:#04x} != this "
+                f"codec's {self.sched_bits:#04x}; set AIVC_PACKED_HEAD="
+                f"{1 if header.sched & 1 else 0} AIVC_GDN_LOWP="
+                f"{1 if header.sched & 2 else 0} and rebuild the codec "
+                f"to decode this stream bit-exactly")
+
     def video_header(self, nb_gop: int, idx_first: int, idx_last: int,
                      wave_batch: int = 1) -> bs.VideoHeader:
         return bs.VideoHeader(
@@ -1685,4 +1706,5 @@ class FrameCodec:
             backend=(bs.BACKEND_DEVICE if self.backend == "device"
                      else bs.BACKEND_HOST),
             wave_batch=max(1, wave_batch),
-            ac_log2=self.ac_max.bit_length() - 1)
+            ac_log2=self.ac_max.bit_length() - 1,
+            sched=self.sched_bits)

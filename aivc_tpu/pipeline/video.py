@@ -351,6 +351,7 @@ def decode_video(codec: FrameCodec, data: bytes,
             f"bitstream was encoded with alphabet +-{1 << header.ac_log2} "
             f"but this model declares ac_max_val={codec.ac_max}; decoding "
             "with mismatched CDF tables would produce garbage latents")
+    codec.check_sched(header)
     if wave_batch is None:
         wave_batch = header.wave_batch
     elif wave_batch != header.wave_batch:

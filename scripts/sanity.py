@@ -47,6 +47,23 @@ GOLDEN_PATH = REPO / "docs" / "golden_sanity.json"
 GOLDEN_CFG = dict(ckpt="models_ckpt/bf16-r4m", h=240, w=416, frames=33,
                   gop_size=16, intra_period=32, idx_rate=4.0)
 
+# Multi-config golden suite (VERDICT r3 item 9): the flagship pinned
+# across coding structures and resolutions so quality regressions are
+# caught by CI, not by ad-hoc eval scripts.  All pins are CPU-backend
+# (reproducible on the CI box); the 720p row runs in the slow tier.
+SUITE_PATH = REPO / "docs" / "golden_suite.json"
+SUITE_CFGS = {
+    "ra_240p": dict(coding="RA", h=240, w=416, frames=17, gop_size=8,
+                    intra_period=16, idx_rate=4.0, family="photowarp"),
+    "ldp_240p": dict(coding="LDP", h=240, w=416, frames=9, gop_size=0,
+                     intra_period=8, idx_rate=4.0, family="parallax"),
+    "ai_240p": dict(coding="AI", h=240, w=416, frames=3, gop_size=0,
+                    intra_period=0, idx_rate=4.0, family="rotpan"),
+    "ra_720p": dict(coding="RA", h=720, w=1280, frames=9, gop_size=8,
+                    intra_period=8, idx_rate=4.0, family="photowarp",
+                    slow=True),
+}
+
 
 def run_golden_config(cfg: dict) -> dict:
     """Encode+decode the golden clip; returns measured {bytes, psnr,
@@ -72,6 +89,63 @@ def run_golden_config(cfg: dict) -> dict:
     return {"bytes": int(res.total_bytes),
             "psnr": round(float(m["psnr"]), 5),
             "ms_ssim": round(float(m["ms_ssim"]), 5)}
+
+
+def run_suite_config(name: str, cfg: dict, ckpt: str) -> dict:
+    """One suite pin: encode+decode a fixed held-out clip, return
+    {bytes, psnr, ms_ssim}."""
+    from eval_data import heldout_clips
+
+    from aivc_tpu.config import CodingConfig
+    from aivc_tpu.pipeline.codec import FrameCodec
+    from aivc_tpu.pipeline.video import (decode_video, encode_video,
+                                         evaluate_frames)
+    from aivc_tpu.utils.checkpoint import load_checkpoint
+
+    frames = heldout_clips(cfg["frames"], cfg["h"], cfg["w"],
+                           names=[cfg["family"]])[0]
+    mcfg, params = load_checkpoint(str(REPO / ckpt))
+    codec = FrameCodec(mcfg, params, cfg["h"], cfg["w"])
+    kw = dict(coding_config=cfg["coding"], idx_rate=cfg["idx_rate"])
+    if cfg["coding"] == "RA":
+        kw.update(gop_size=cfg["gop_size"], intra_period=cfg["intra_period"])
+    elif cfg["coding"] == "LDP":
+        kw.update(intra_period=cfg["intra_period"])
+    coding = CodingConfig(**kw)
+    res = encode_video(codec, frames, coding, wave_batch=4)
+    dec = decode_video(codec, res.bitstream)
+    m = evaluate_frames(frames, dec)
+    return {"bytes": int(res.total_bytes),
+            "psnr": round(float(m["psnr"]), 5),
+            "ms_ssim": round(float(m["ms_ssim"]), 5)}
+
+
+def suite(update: bool, ckpt: str = "models_ckpt/bf16-r4m",
+          include_slow: bool = False) -> int:
+    data = (json.loads(SUITE_PATH.read_text())
+            if SUITE_PATH.exists() and not update else
+            {"ckpt": ckpt, "backend": "cpu", "pins": {}})
+    rc = 0
+    dirty = False
+    for name, cfg in SUITE_CFGS.items():
+        if cfg.get("slow") and not include_slow:
+            continue
+        got = run_suite_config(name, cfg, data["ckpt"])
+        if update or name not in data["pins"]:
+            data["pins"][name] = {"config": cfg, "expect": got}
+            dirty = True
+            print(f"[SUITE] {name}: pinned {got}")
+            continue
+        expect = data["pins"][name]["expect"]
+        ok = (got["bytes"] == expect["bytes"]
+              and abs(got["psnr"] - expect["psnr"]) < 1e-3
+              and abs(got["ms_ssim"] - expect["ms_ssim"]) < 1e-3)
+        print(f"[SUITE] {name}: "
+              f"{'OK ' + str(got) if ok else f'REGRESSION! {got} != {expect}'}")
+        rc = rc if ok else 1
+    if dirty:
+        SUITE_PATH.write_text(json.dumps(data, indent=1))
+    return rc
 
 
 def golden(update: bool) -> int:
@@ -142,11 +216,17 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--golden", action="store_true")
+    ap.add_argument("--suite", action="store_true",
+                    help="multi-config golden suite (docs/golden_suite.json)")
+    ap.add_argument("--slow", action="store_true",
+                    help="include the slow (720p) suite rows")
     ap.add_argument("--update", action="store_true",
                     help="rewrite the golden from this run (promotion)")
     args = ap.parse_args()
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.suite:
+        return suite(args.update, include_slow=args.slow)
     return golden(args.update) if args.golden else structural()
 
 

@@ -92,3 +92,12 @@ def test_corrupt_latent_is_named_at_decode(chunk):
     clean = FrameCodec(TINY, params, H, W, entropy_backend="host")
     with pytest.raises(ValueError, match=chunk):
         decode_video(clean, tampered)
+
+
+def test_video_header_sched_roundtrip():
+    h = bs.VideoHeader(h_x=64, w_x=48, h_y=4, w_y=3, h_z=1, w_z=1,
+                       nb_gop=1, idx_first_frame=0, idx_last_frame=4,
+                       backend=1, wave_batch=2, ac_log2=7, sched=3)
+    back = bs.VideoHeader.unpack(h.pack())
+    assert back == h
+    assert len(h.pack()) == bs.VideoHeader.SIZE

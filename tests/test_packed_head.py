@@ -77,6 +77,12 @@ def test_codec_packed_head_closed_loop_and_close_to_plain():
         else:
             os.environ["AIVC_PACKED_HEAD"] = prior
 
+    # Schedule mismatch: the plain codec must REFUSE the packed stream
+    # (different float sum order would silently drift through the GOP
+    # reference chain) — the header's sched byte makes it loud.
+    with pytest.raises(ValueError, match="compute schedule"):
+        decode_video(plain, res1.bitstream)
+
     # Closed loop: the packed decoder reproduces the packed encoder
     # bit-exactly (the contract the pipeline relies on).
     for idx in res1.decoded_frames:
