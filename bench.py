@@ -138,6 +138,7 @@ def pick_checkpoint() -> str:
     if ckpt:
         return ckpt
     for cand in ("/root/repo/models_ckpt/flagship",
+                 "/root/repo/models_ckpt/bf16-r5",
                  "/root/repo/models_ckpt/bf16-r4m",
                  "/root/repo/models_ckpt/bf16-r3",
                  "/root/repo/models_ckpt/bf16-r2"):
@@ -243,13 +244,28 @@ def main():
                 _progress("enabling pipeline lookahead 2 for later reps")
             la = os.environ.get("AIVC_PIPELINE_LOOKAHEAD", "0")
             t0 = time.time()
-            res = encode_video(codec, frames, coding,
-                               wave_batch=wave_batch)
-            e = time.time() - t0
-            t0 = time.time()
-            materialize(decode_video(codec, res.bitstream,
-                                     wave_batch=wave_batch))
-            d = time.time() - t0
+            try:
+                res = encode_video(codec, frames, coding,
+                                   wave_batch=wave_batch)
+                e = time.time() - t0
+                t0 = time.time()
+                materialize(decode_video(codec, res.bitstream,
+                                         wave_batch=wave_batch))
+                d = time.time() - t0
+            except Exception as exc:
+                # A lookahead rep can exhaust HBM (two waves' buffers
+                # resident; checkpoint-dependent).  Fall back to
+                # lookahead-free reps instead of losing the attempt —
+                # the best-so-far number must survive (observed: an
+                # OOM at rep 1 burned all three attempts and the
+                # artifact recorded the cold rep 0).
+                if la != "0" and la_prior is None and \
+                        "RESOURCE_EXHAUSTED" in str(exc):
+                    _progress("lookahead rep exhausted HBM; disabling "
+                              "lookahead for remaining reps")
+                    os.environ["AIVC_PIPELINE_LOOKAHEAD"] = "0"
+                    continue
+                raise
             t_enc, t_dec = min(t_enc, e), min(t_dec, d)
             slowest = max(slowest, e + d)
             _record(n / (t_enc + t_dec), w, h, gop_size, cfg.name)

@@ -44,7 +44,7 @@ import numpy as np
 GOLDEN_PATH = REPO / "docs" / "golden_sanity.json"
 # Mirrors the reference sanity coding config (RA, GOP 16, intra period
 # 32 — src/sanity_script.sh:9-11) on the held-out photowarp clip.
-GOLDEN_CFG = dict(ckpt="models_ckpt/bf16-r4m", h=240, w=416, frames=33,
+GOLDEN_CFG = dict(ckpt="models_ckpt/bf16-r5", h=240, w=416, frames=33,
                   gop_size=16, intra_period=32, idx_rate=4.0)
 
 # Multi-config golden suite (VERDICT r3 item 9): the flagship pinned
@@ -120,7 +120,7 @@ def run_suite_config(name: str, cfg: dict, ckpt: str) -> dict:
             "ms_ssim": round(float(m["ms_ssim"]), 5)}
 
 
-def suite(update: bool, ckpt: str = "models_ckpt/bf16-r4m",
+def suite(update: bool, ckpt: str = GOLDEN_CFG["ckpt"],
           include_slow: bool = False) -> int:
     data = (json.loads(SUITE_PATH.read_text())
             if SUITE_PATH.exists() and not update else
