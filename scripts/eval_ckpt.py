@@ -98,7 +98,7 @@ def main():
     clips, clip_names = heldout_clips(args.clips, args.frames, args.h,
                                       args.w, in_dist=args.in_dist)
 
-    for ckpt in args.ckpt or ["models_ckpt/bf16-r3"]:
+    for ckpt in args.ckpt or ["models_ckpt/bf16-r5"]:
         cfg, params = load_checkpoint(ckpt)
         codec = FrameCodec(cfg, params, args.h, args.w)
         summary = []

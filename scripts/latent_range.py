@@ -31,7 +31,7 @@ import numpy as np
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="models_ckpt/bf16-r3")
+    ap.add_argument("--ckpt", default="models_ckpt/bf16-r5")
     ap.add_argument("--h", type=int, default=240)
     ap.add_argument("--w", type=int, default=416)
     ap.add_argument("--frames", type=int, default=9)

@@ -71,7 +71,7 @@ def parse_perfetto(trace_dir: str, top: int = 25):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--ckpt", default="models_ckpt/bf16-r4m")
+    ap.add_argument("--ckpt", default="models_ckpt/bf16-r5")
     ap.add_argument("--h", type=int, default=1088)
     ap.add_argument("--w", type=int, default=1920)
     ap.add_argument("--batch", type=int, default=8)
