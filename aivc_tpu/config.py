@@ -120,6 +120,25 @@ class ConditionalNetConfig:
     # Like head_lane_pack this is a compute-schedule switch set by
     # FrameCodec, not a model property; training keeps f32 parameters.
     gdn_lowp: bool = False
+    # Channel-major maps head (MOFNet only): the synthesis head returns
+    # its conv output pre-depth-to-space and the alpha/beta/flow maps are
+    # produced as [B, 6, H, W] planes instead of [B, H, W, 6].  Full-res
+    # few-channel NHWC tensors put C (6, or 1-2 after slicing) in the
+    # 128-lane minor dim, so every elementwise map op and every program
+    # boundary they cross runs heavily lane-padded — measured ~30% of the
+    # mof_synth stage as pure layout copies at 1080p (scripts/
+    # trace_synth.py).  Channel-major planes tile (H sublanes, W lanes)
+    # perfectly.  Inference-side compute-schedule switch like the two
+    # above (AIVC_MAPS_CM); training keeps the channel-last path.
+    maps_cm: bool = False
+    # Space-to-depth first analysis conv (ops/layers.py:S2DConv): the
+    # stride-2 k5 conv on the 3/6/9-channel full-res frame concats is
+    # ~80x off the conv roofline (the top op of the mof_synth stage,
+    # scripts/dump_synth_hlo.py); folding the 2x2 stride phases into
+    # channels runs the same sums as a dense stride-1 3x3 conv.
+    # Inference compute-schedule switch (AIVC_S2D); training keeps the
+    # plain conv.
+    s2d_analysis: bool = False
 
     @property
     def mixture_k(self) -> int:

@@ -59,6 +59,10 @@ class AnalysisTransform(nn.Module):
     dtype: str = "float32"
     gdn_clamp: float = 0.0
     gdn_lowp: bool = False
+    # Space-to-depth schedule for the FIRST conv (the only few-channel
+    # one — 3/6/9-channel full-res frame concats; see ConvBlock.s2d /
+    # config.py:s2d_analysis).
+    s2d_first: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
@@ -68,7 +72,7 @@ class AnalysisTransform(nn.Module):
             gdn += "!lp"
         x = x.astype(d)
         x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity=gdn,
-                      dtype=d)(x)
+                      dtype=d, s2d=self.s2d_first)(x)
         x = ConvBlock(self.nb_ft, self.k_size, stride=2, non_linearity=gdn,
                       dtype=d)(x)
         if self.use_attention:
@@ -97,6 +101,10 @@ class SynthesisTransform(nn.Module):
     # FrameCodec enables it for inference via ConditionalNetConfig.
     head_lane_pack: int = 0
     gdn_lowp: bool = False
+    # Return the head conv output PRE-depth-to-space ([B, H/2, W/2,
+    # 4*out_ft]) so the caller folds the pixel shuffle into its own
+    # layout transform (channel-major maps, config.py:maps_cm).
+    head_pre_dts: bool = False
 
     @nn.compact
     def __call__(self, y: jax.Array) -> jax.Array:
@@ -115,7 +123,8 @@ class SynthesisTransform(nn.Module):
         y = UpBlock(self.nb_ft, self.k_size, non_linearity=igdn,
                     dtype=d)(y)
         y = UpBlock(self.out_ft, self.k_size, non_linearity="no", dtype=d,
-                    lane_pack=self.head_lane_pack)(y)
+                    lane_pack=self.head_lane_pack,
+                    skip_dts=self.head_pre_dts)(y)
         return y.astype(jnp.float32)
 
 
@@ -161,19 +170,23 @@ class ConditionalNet(nn.Module):
         d = c.dtype
         clamp = getattr(c, "gdn_clamp", 0.0)
         lowp = getattr(c, "gdn_lowp", False)
+        s2d = getattr(c, "s2d_analysis", False)
         self.g_a = AnalysisTransform(c.nb_ft, c.nb_ft_y, c.k_size,
                                      c.use_attention, dtype=d,
-                                     gdn_clamp=clamp, gdn_lowp=lowp)
+                                     gdn_clamp=clamp, gdn_lowp=lowp,
+                                     s2d_first=s2d)
         if c.in_c_shortcut > 0:
             self.g_a_ref = AnalysisTransform(
                 c.nb_ft, c.out_c_shortcut_y, c.k_size, use_attention=False,
-                dtype=d, gdn_clamp=clamp, gdn_lowp=lowp)
+                dtype=d, gdn_clamp=clamp, gdn_lowp=lowp, s2d_first=s2d)
         self.g_s = SynthesisTransform(c.nb_ft, c.out_c, c.k_size,
                                       c.use_attention, dtype=d,
                                       gdn_clamp=clamp,
                                       head_lane_pack=getattr(
                                           c, "head_lane_pack", 0),
-                                      gdn_lowp=lowp)
+                                      gdn_lowp=lowp,
+                                      head_pre_dts=getattr(
+                                          c, "maps_cm", False))
         self.h_a = HyperAnalysis(c.nb_ft_z, c.nb_ft_z, dtype=d)
         self.h_s = HyperSynthesis(c.nb_ft_y, c.sigma_cond_c, dtype=d)
         self.pdf_z = FactorizedPrior(c.nb_ft_z)

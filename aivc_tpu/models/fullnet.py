@@ -89,6 +89,43 @@ def _mofnet_maps(out6: jax.Array, frame_type: int,
     return alpha, beta, v_prev, v_next
 
 
+def _mofnet_maps_cm(out24: jax.Array, frame_type: int,
+                    flow_bound: float = 0.0) -> jax.Array:
+    """Channel-major variant of ``_mofnet_maps``: the PRE-depth-to-space
+    head output [B, H/2, W/2, 24] -> processed maps [B, 6, H, W], plane
+    order [alpha, beta, u_prev, v_prev, u_next, v_next].
+
+    The pixel shuffle and the NHWC->NCHW transpose fuse into ONE data
+    movement (the legacy path pays the shuffle, then relayouts every
+    1-2-channel slice), and all map elementwise ops run on (H, W)-minor
+    planes — full 128-lane tiles instead of 6/128 (config.py:maps_cm).
+    Same values as ``_mofnet_maps`` up to float reassociation.
+    """
+    B, h, w, C4 = out24.shape
+    C = C4 // 4  # 6 maps
+    # depth_to_space2 factors channel k as (i, j, c), k = i*2C + j*C + c,
+    # out[2y+i, 2x+j, c] = in[y, x, k]; produce out_cm[c, 2y+i, 2x+j].
+    m = out24.reshape(B, h, w, 2, 2, C)
+    m = jnp.transpose(m, (0, 5, 1, 3, 2, 4)).reshape(B, C, 2 * h, 2 * w)
+    if flow_bound > 0.0:
+        alpha = jax.nn.sigmoid(4.0 * m[:, 0:1])
+        beta = jax.nn.sigmoid(4.0 * m[:, 1:2])
+        b = jnp.asarray(flow_bound, m.dtype)
+        v_prev = m[:, 2:4]
+        v_next = m[:, 4:6]
+        v_prev = v_prev / (1.0 + jnp.abs(v_prev) / b)
+        v_next = v_next / (1.0 + jnp.abs(v_next) / b)
+    else:
+        alpha = jnp.clip(m[:, 0:1] + 0.5, 0.0, 1.0)
+        beta = jnp.clip(m[:, 1:2] + 0.5, 0.0, 1.0)
+        v_prev = m[:, 2:4]
+        v_next = m[:, 4:6]
+    if frame_type == FRAME_P:
+        beta = jnp.ones_like(beta)
+        v_next = jnp.zeros_like(v_next)
+    return jnp.concatenate([alpha, beta, v_prev, v_next], axis=1)
+
+
 class FullNet(nn.Module):
     cfg: ModelConfig
 
@@ -191,9 +228,13 @@ class FullNet(nn.Module):
         standalone op (measured at 1080p on v5e)."""
         shortcut = (jnp.concatenate([prev, nxt], axis=-1)
                     if frame_type == FRAME_B else None)
-        out6 = self.mofnet.synthesize(y_cq, mu, shortcut, idx_rate, frame_type)
+        out = self.mofnet.synthesize(y_cq, mu, shortcut, idx_rate, frame_type)
+        if getattr(self.cfg.mofnet, "maps_cm", False):
+            # Channel-major schedule: ONE [B, 6, H, W] planes tensor
+            # (config.py:maps_cm; out is the pre-dts head output here).
+            return _mofnet_maps_cm(out, frame_type, self.cfg.flow_bound)
         alpha, beta, v_prev, v_next = _mofnet_maps(
-            out6, frame_type, self.cfg.flow_bound)
+            out, frame_type, self.cfg.flow_bound)
         return alpha, beta, v_prev, v_next
 
     @staticmethod
@@ -228,6 +269,37 @@ class FullNet(nn.Module):
                 "pred": pred, "skip": skip,
                 "alpha_mean": jnp.mean(alpha, axis=(1, 2, 3)),
                 "beta_mean": jnp.mean(beta, axis=(1, 2, 3))}
+
+    @staticmethod
+    def motion_comp_stage_cm(prev, nxt, maps6, frame_type: int,
+                             warp_engine: str = "packed",
+                             flow_bound: int = 0):
+        """Channel-major counterpart of ``motion_comp_stage``: ``maps6``
+        is [B, 6, H, W] from ``_mofnet_maps_cm``; flows reach the warp as
+        (u, v) planes so no channel-last flow tensor is ever
+        materialized, and only the tensors inference actually consumes
+        (pred/skip/means) are program outputs — the legacy stage
+        materializes alpha/beta/x_warp full-res maps nobody reads
+        (~380 MB of HBM writes per wave-8 1080p call)."""
+        from aivc_tpu.ops.warp import mc_warp
+
+        alpha = maps6[:, 0]  # [B, H, W] planes
+        beta = maps6[:, 1]
+        vp = (maps6[:, 2], maps6[:, 3])
+        vn = (maps6[:, 4], maps6[:, 5])
+        if frame_type == FRAME_P:
+            x_warp = mc_warp(pack_yuv_u32(prev), vp, warp_engine,
+                             flow_bound)
+        else:
+            pw = mc_warp(pack_yuv_u32(prev), vp, warp_engine, flow_bound)
+            nw = mc_warp(pack_yuv_u32(nxt), vn, warp_engine, flow_bound)
+            b3 = beta[..., None]
+            x_warp = b3 * pw + (1.0 - b3) * nw
+        x_warp = x_warp.astype(prev.dtype)
+        a3 = alpha[..., None]
+        return {"pred": a3 * x_warp, "skip": (1.0 - a3) * x_warp,
+                "alpha_mean": jnp.mean(alpha, axis=(1, 2)),
+                "beta_mean": jnp.mean(beta, axis=(1, 2))}
 
     def mofnet_synth(self, y_cq, mu, prev, nxt, idx_rate, frame_type: int):
         """MOFNet synthesis + motion compensation -> prediction and skip.

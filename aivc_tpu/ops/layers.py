@@ -55,23 +55,80 @@ def _nonlinearity(name: str, ch: int) -> Optional[Callable]:
 
 class ConvBlock(nn.Module):
     """Replication-pad + conv + nonlinearity
-    (reference CustomConvLayer, custom_conv_layers.py:129-180)."""
+    (reference CustomConvLayer, custom_conv_layers.py:129-180).
+
+    s2d=True (stride-2, k=5 only): compute the conv as a space-to-depth
+    stride-1 3x3 conv.  A stride-2 k5 conv on a FEW-CHANNEL full-res
+    input (the 3/6/9-channel frame concats feeding every analysis
+    transform) is the worst conv shape on the MXU — measured ~80x off
+    roofline at 1080p (g_a_ref ConvBlock_0 = 17.5 ms of the mof_synth
+    stage, scripts/dump_synth_hlo.py).  Folding the 2x2 stride phases
+    into channels (C -> 4C, kernel 5x5 -> 3x3 with the taps rearranged
+    and 2 of 36 zero) quadruples the contraction depth and removes the
+    full-res few-channel tensor from the conv entirely.  Same
+    parameters, same sums up to reassociation — an inference
+    compute-schedule switch like LanePackedConv.
+    """
 
     out_ft: int
     k_size: int = 5
     stride: int = 1
     non_linearity: str = "leaky_relu"
     dtype: str = "float32"
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         pad = self.k_size // 2
         x = replication_pad(x, pad)
-        x = nn.Conv(self.out_ft, (self.k_size, self.k_size),
-                    strides=(self.stride, self.stride), padding="VALID",
-                    dtype=self.dtype)(x)
+        if (self.s2d and self.stride == 2 and self.k_size == 5
+                and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+            x = S2DConv(self.out_ft, (5, 5), padding="VALID",
+                        dtype=self.dtype, name="Conv_0")(x)
+        else:
+            x = nn.Conv(self.out_ft, (self.k_size, self.k_size),
+                        strides=(self.stride, self.stride), padding="VALID",
+                        dtype=self.dtype, name="Conv_0")(x)
         nl = _nonlinearity(self.non_linearity, self.out_ft)
         return nl(x) if nl is not None else x
+
+
+class S2DConv(nn.Conv):
+    """nn.Conv drop-in (identical parameter tree) computing the padded
+    VALID stride-2 k5 conv as a space-to-depth stride-1 3x3 conv.
+
+    Derivation: out[y, x] = sum_dy,dx W5[dy, dx] . in[2y+dy, 2x+dx]
+    with dy = 2*ka + py (ka in 0..2, py in 0..1) becomes a VALID 3x3
+    conv over in2[r, s, (py, px, c)] = in[2r+py, 2s+px, c] with
+    W3[ka, kb, (py, px, c), f] = W5[2ka+py, 2kb+px, c, f] (the dy=5 /
+    dx=5 phantom taps are zero).  Same parameters, same per-output sums
+    up to float reassociation (see ConvBlock.s2d)."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        cin = x.shape[-1]
+        F = self.features
+        kernel = self.param(
+            "kernel", self.kernel_init, (5, 5, cin, F))
+        bias = (self.param("bias", self.bias_init, (F,))
+                if self.use_bias else None)
+        dt = self.dtype or x.dtype
+        x = x.astype(dt)
+        w5 = kernel.astype(dt)
+        # [5,5,C,F] -> pad the tap grid to 6x6 -> (ka,py,kb,px,C,F)
+        w = jnp.pad(w5, ((0, 1), (0, 1), (0, 0), (0, 0)))
+        w = w.reshape(3, 2, 3, 2, cin, F)
+        w3 = jnp.transpose(w, (0, 2, 1, 3, 4, 5)).reshape(3, 3, 4 * cin, F)
+        B, Hp, Wp, _ = x.shape
+        x2 = x.reshape(B, Hp // 2, 2, Wp // 2, 2, cin)
+        x2 = jnp.transpose(x2, (0, 1, 3, 2, 4, 5))
+        x2 = x2.reshape(B, Hp // 2, Wp // 2, 4 * cin)
+        out = jax.lax.conv_general_dilated(
+            x2, w3, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if bias is not None:
+            out = out + bias.astype(dt)
+        return out
 
 
 def depth_to_space2(x: jax.Array) -> jax.Array:
@@ -159,6 +216,12 @@ class UpBlock(nn.Module):
     mode='tconv': the reference-style transposed conv.
     lane_pack=G > 1: route the conv through LanePackedConv (few-output
     heads only; see its docstring).
+    skip_dts: return the conv output WITHOUT depth-to-space
+    ([B, H, W, 4*out_ft] at the input resolution) so the caller can fold
+    the shuffle into its own layout transform (the channel-major maps
+    head, models/fullnet.py:_mofnet_maps_cm).  Only valid for shuffle
+    mode with non_linearity='no' (the nonlinearity is per-output-channel
+    and must see the shuffled layout).
     """
 
     out_ft: int
@@ -167,9 +230,12 @@ class UpBlock(nn.Module):
     dtype: str = "float32"
     mode: str = "shuffle"
     lane_pack: int = 0
+    skip_dts: bool = False
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        if self.skip_dts:
+            assert self.mode == "shuffle" and self.non_linearity == "no"
         if self.mode == "shuffle":
             pad = self.k_size // 2
             x = replication_pad(x, pad)
@@ -184,6 +250,8 @@ class UpBlock(nn.Module):
                 x = nn.Conv(4 * self.out_ft, (self.k_size, self.k_size),
                             padding="VALID", dtype=self.dtype,
                             name="Conv_0")(x)
+            if self.skip_dts:
+                return x
             x = depth_to_space2(x)
         else:
             x = nn.ConvTranspose(self.out_ft, (self.k_size, self.k_size),

@@ -119,12 +119,17 @@ def warp_packed(packed: jax.Array, flow: jax.Array) -> jax.Array:
 
     Args:
       packed: [B, H, W] u32 from pack_yuv_u32 (the reference frame).
-      flow:   [B, H, W, 2] f32; same semantics as `warp`.
+      flow:   [B, H, W, 2] f32 (same semantics as `warp`), or a (u, v)
+              tuple of [B, H, W] planes — the channel-major maps
+              schedule passes planes so no channel-last flow tensor is
+              materialized (models/fullnet.py:motion_comp_stage_cm).
 
     Returns:
       [B, H, W, 3] f32 warped frame in [0, 1].
     """
-    packed, flow = jax.lax.optimization_barrier((packed, flow))
+    u, v = (flow if isinstance(flow, tuple)
+            else (flow[..., 0], flow[..., 1]))
+    packed, u, v = jax.lax.optimization_barrier((packed, u, v))
     B, H, W = packed.shape
 
     # Edge-pad by one row/col so corner x0+1 / y0+1 reads clamp to the
@@ -137,8 +142,8 @@ def warp_packed(packed: jax.Array, flow: jax.Array) -> jax.Array:
 
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    sx = jnp.clip(xx[None] + flow[..., 0].astype(jnp.float32), 0.0, W - 1)
-    sy = jnp.clip(yy[None] + flow[..., 1].astype(jnp.float32), 0.0, H - 1)
+    sx = jnp.clip(xx[None] + u.astype(jnp.float32), 0.0, W - 1)
+    sy = jnp.clip(yy[None] + v.astype(jnp.float32), 0.0, H - 1)
 
     x0 = jnp.floor(sx)
     y0 = jnp.floor(sy)

@@ -320,10 +320,12 @@ def warp_bounded_pallas(packed: jax.Array, flow: jax.Array, fb: int,
     wpad = (-W) % LANE
     Wp = W + wpad
 
+    u, v = (flow if isinstance(flow, tuple)
+            else (flow[..., 0], flow[..., 1]))
     yy = jax.lax.broadcasted_iota(jnp.float32, (H, W), 0)
     xx = jax.lax.broadcasted_iota(jnp.float32, (H, W), 1)
-    sx = jnp.clip(xx[None] + flow[..., 0].astype(jnp.float32), 0.0, W - 1)
-    sy = jnp.clip(yy[None] + flow[..., 1].astype(jnp.float32), 0.0, H - 1)
+    sx = jnp.clip(xx[None] + u.astype(jnp.float32), 0.0, W - 1)
+    sy = jnp.clip(yy[None] + v.astype(jnp.float32), 0.0, H - 1)
     if wpad:
         packed = jnp.pad(packed, ((0, 0), (0, 0), (0, wpad)), mode="edge")
         sx = jnp.pad(sx, ((0, 0), (0, 0), (0, wpad)), mode="edge")

@@ -187,6 +187,23 @@ class FrameCodec:
                 cfg,
                 mofnet=_dc.replace(cfg.mofnet, gdn_lowp=True),
                 codecnet=_dc.replace(cfg.codecnet, gdn_lowp=True))
+        # Channel-major MOFNet maps (see config.py:maps_cm): the
+        # alpha/beta/flow maps live as [B, 6, H, W] planes end-to-end —
+        # the full-res 6-channel NHWC layout was ~30% of the mof_synth
+        # stage in pure relayout copies (scripts/trace_synth.py).
+        # AIVC_MAPS_CM=0 restores the channel-last maps.
+        if _os0.environ.get("AIVC_MAPS_CM", "1") != "0":
+            cfg = _dc.replace(
+                cfg, mofnet=_dc.replace(cfg.mofnet, maps_cm=True))
+        # Space-to-depth first analysis convs (config.py:s2d_analysis):
+        # the few-channel full-res stride-2 convs were the top single
+        # ops of the synthesis/analysis stages.  AIVC_S2D=0 restores
+        # the plain convs.
+        if _os0.environ.get("AIVC_S2D", "1") != "0":
+            cfg = _dc.replace(
+                cfg,
+                mofnet=_dc.replace(cfg.mofnet, s2d_analysis=True),
+                codecnet=_dc.replace(cfg.codecnet, s2d_analysis=True))
         self.cfg = cfg
         # Rate audit: attach per-frame analytic bits (under the coder's
         # own quantized CDFs) to the encode stats, so sequence-level
@@ -513,13 +530,27 @@ class FrameCodec:
                                              warp_engine=WENG,
                                              flow_bound=WFB)
 
-        def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
-            """Two-program split: synthesis maps, then the warp (see
-            FullNet.mofnet_synth_maps docstring)."""
-            alpha, beta, v_prev, v_next = mof_synth_maps(
-                params, y_cq, mu, prev, nxt, idx_rate, ftype=ftype)
-            return motion_comp(prev, nxt, alpha, beta, v_prev, v_next,
-                               ftype=ftype)
+        @functools.partial(jax.jit, static_argnames=("ftype",))
+        def motion_comp_cm(prev, nxt, maps6, ftype):
+            return FullNet.motion_comp_stage_cm(prev, nxt, maps6, ftype,
+                                                warp_engine=WENG,
+                                                flow_bound=WFB)
+
+        if self.cfg.mofnet.maps_cm:
+            def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
+                """Two-program split, channel-major maps: synthesis ->
+                [B, 6, H, W] planes, then the warp (config.py:maps_cm)."""
+                maps6 = mof_synth_maps(params, y_cq, mu, prev, nxt,
+                                       idx_rate, ftype=ftype)
+                return motion_comp_cm(prev, nxt, maps6, ftype=ftype)
+        else:
+            def mof_synth(params, y_cq, mu, prev, nxt, idx_rate, ftype):
+                """Two-program split: synthesis maps, then the warp (see
+                FullNet.mofnet_synth_maps docstring)."""
+                alpha, beta, v_prev, v_next = mof_synth_maps(
+                    params, y_cq, mu, prev, nxt, idx_rate, ftype=ftype)
+                return motion_comp(prev, nxt, alpha, beta, v_prev,
+                                   v_next, ftype=ftype)
 
         @functools.partial(jax.jit, static_argnames=("ftype",))
         def cod_synth(params, y_cq, mu, pred, skip, idx_rate, ftype):
@@ -806,7 +837,8 @@ class FrameCodec:
                          else y_quant)
         self._mof_synth = mof_synth
         self._mof_synth_maps = mof_synth_maps
-        self._motion_comp = motion_comp
+        self._motion_comp = (motion_comp_cm if self.cfg.mofnet.maps_cm
+                             else motion_comp)
         self._cod_synth = cod_synth
 
         # ---- analytic-rate audit (reference: src/real_life/encode.py:
@@ -1679,10 +1711,13 @@ class FrameCodec:
     @property
     def sched_bits(self) -> int:
         """Compute-schedule byte recorded in the video header (bit0 =
-        lane-packed heads, bit1 = low-precision GDN) — part of the
+        lane-packed heads, bit1 = low-precision GDN, bit2 = channel-major
+        MOFNet maps, bit3 = space-to-depth analysis convs) — part of the
         bit-exact decode contract, like wave_batch."""
         return ((1 if self.cfg.codecnet.head_lane_pack > 1 else 0)
-                | (2 if self.cfg.codecnet.gdn_lowp else 0))
+                | (2 if self.cfg.codecnet.gdn_lowp else 0)
+                | (4 if self.cfg.mofnet.maps_cm else 0)
+                | (8 if self.cfg.codecnet.s2d_analysis else 0))
 
     def check_sched(self, header: bs.VideoHeader) -> None:
         """Raise if this codec's compute schedule differs from the
@@ -1694,7 +1729,9 @@ class FrameCodec:
                 f"bitstream compute schedule {header.sched:#04x} != this "
                 f"codec's {self.sched_bits:#04x}; set AIVC_PACKED_HEAD="
                 f"{1 if header.sched & 1 else 0} AIVC_GDN_LOWP="
-                f"{1 if header.sched & 2 else 0} and rebuild the codec "
+                f"{1 if header.sched & 2 else 0} AIVC_MAPS_CM="
+                f"{1 if header.sched & 4 else 0} AIVC_S2D="
+                f"{1 if header.sched & 8 else 0} and rebuild the codec "
                 f"to decode this stream bit-exactly")
 
     def video_header(self, nb_gop: int, idx_first: int, idx_last: int,

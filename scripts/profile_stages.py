@@ -101,11 +101,18 @@ def main():
     add("mof_synth_maps",
         timeit(lambda: codec._mof_synth_maps(p, y_cqm[0], mu_m, frame, prev,
                                              rate, ftype=ftype)))
-    alpha, beta, v_prev, v_next = codec._mof_synth_maps(
+    maps = codec._mof_synth_maps(
         p, y_cqm[0], mu_m, frame, prev, rate, ftype=ftype)
-    add("motion_comp (warp)",
-        timeit(lambda: codec._motion_comp(frame, prev, alpha, beta, v_prev,
-                                          v_next, ftype=ftype)))
+    if codec.cfg.mofnet.maps_cm:
+        add("motion_comp (warp)",
+            timeit(lambda: codec._motion_comp(frame, prev, maps,
+                                              ftype=ftype)))
+    else:
+        alpha, beta, v_prev, v_next = maps
+        add("motion_comp (warp)",
+            timeit(lambda: codec._motion_comp(frame, prev, alpha, beta,
+                                              v_prev, v_next,
+                                              ftype=ftype)))
     mof = codec._mof_synth(p, y_cqm[0], mu_m, frame, prev, rate, ftype=ftype)
     pred, skip = mof["pred"], mof["skip"]
     y_c, z_qc = codec._cod_analyze(p, frame, pred, rate, ftype=ftype)
