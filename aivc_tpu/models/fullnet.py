@@ -304,8 +304,11 @@ class FullNet(nn.Module):
     def mofnet_synth(self, y_cq, mu, prev, nxt, idx_rate, frame_type: int):
         """MOFNet synthesis + motion compensation -> prediction and skip.
         (Single-program variant; the pipeline uses the split stages.)"""
-        alpha, beta, v_prev, v_next = self.mofnet_synth_maps(
+        maps = self.mofnet_synth_maps(
             y_cq, mu, prev, nxt, idx_rate, frame_type)
+        if getattr(self.cfg.mofnet, "maps_cm", False):
+            return self.motion_comp_stage_cm(prev, nxt, maps, frame_type)
+        alpha, beta, v_prev, v_next = maps
         return self.motion_comp_stage(prev, nxt, alpha, beta, v_prev,
                                       v_next, frame_type)
 
