@@ -323,6 +323,16 @@ def main():
                          "|raw| to ~1e3+ where every task gradient is "
                          "dead; 1e-4 is negligible when healthy and "
                          "pulls a dead flow head back under Adam")
+    ap.add_argument("--ema", type=float, default=0.0,
+                    help="exponential moving average decay for a shadow "
+                         "parameter set (0 = off).  Round-4 finding: the "
+                         "small-batch trajectories oscillate +-1-2 dB "
+                         "between 1k-step snapshots and eval-promotion "
+                         "picks outlier peaks that the next leg "
+                         "immediately falls off (docs/evals/"
+                         "r6_leg_trajectory.jsonl); the EMA tracks the "
+                         "basin center instead of a draw.  Snapshots and "
+                         "the final save write an '<out>-ema' twin")
     ap.add_argument("--health_psnr", type=float, default=4.0,
                     help="abort (rc 3) and refuse checkpoints when mean "
                          "PSNR of the last 15 steps falls below this; "
@@ -470,6 +480,22 @@ def main():
             return False
         return not recent or sum(recent) / len(recent) > args.health_psnr
 
+    # EMA shadow params (see --ema): updated every step by a tiny jitted
+    # lerp; initialized from the resumed params so early evals are sane.
+    ema_params = None
+    ema_step = None
+    if args.ema > 0.0:
+        d = float(args.ema)
+
+        @jax.jit
+        def ema_step(e, p):
+            return jax.tree.map(
+                lambda ev, pv: (d * ev.astype(jnp.float32)
+                                + (1.0 - d) * pv.astype(jnp.float32)
+                                ).astype(ev.dtype), e, p)
+
+        ema_params = jax.tree.map(lambda x: x, params)
+
     for step in range(args.step0, args.steps):
         frames_np, idx_rate = futs.popleft().result()
         futs.append(ex.submit(gen, step % workers))
@@ -477,6 +503,8 @@ def main():
         rng, rng_s = jax.random.split(rng)
         params, opt_state, logs = step_fn(params, opt_state, frames,
                                           idx_rate, rng_s)
+        if ema_params is not None:
+            ema_params = ema_step(ema_params, params)
         recent.append(float(logs["psnr"]))
         recent_flow.append(float(logs["flow_mag"]))
         if step % args.log_every == 0 or step == args.steps - 1:
@@ -505,12 +533,17 @@ def main():
                 and step % args.snapshot_every == 0):
             snap = f"{args.out}-s{step}"
             save_checkpoint(snap, cfg, params)
+            if ema_params is not None:
+                save_checkpoint(f"{args.out}-ema-s{step}", cfg, ema_params)
             print(f"snapshot @ step {step} -> {snap}", flush=True)
 
     if args.out:
         save_checkpoint(args.out, cfg, params)
         (Path(args.out) / "opt_state.msgpack").write_bytes(
             _ser.to_bytes(opt_state))
+        if ema_params is not None:
+            save_checkpoint(f"{args.out}-ema", cfg, ema_params)
+            print(f"saved EMA twin to {args.out}-ema")
         print(f"saved checkpoint to {args.out}")
     return 0
 
