@@ -54,7 +54,7 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
                     optimizer, dist_loss: str | None = None,
                     flow_penalty: float = 0.0,
                     alpha_penalty: float = 0.0,
-                    mesh=None):
+                    mesh=None, accum: int = 1):
     """Build a jitted train step over a fixed GOP structure.
 
     The returned step has signature
@@ -64,6 +64,18 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
     dynamic indexing and lambda is gathered from the ladder, so all rate
     points share ONE compiled program (7 separate multi-minute remote
     compiles otherwise).
+
+    With ``accum > 1`` the batch axis is split into ``accum``
+    microbatches scanned sequentially (activation memory stays at
+    microbatch size) and ONE optimizer update is applied to the f32 mean
+    of the valid microbatch gradients.  Motivation (round-4 finding,
+    docs/STATUS.md): the B=2 trajectories oscillate +-1-2 dB between
+    snapshots and every continuation leg from the promoted flagship fell
+    out of its sharp basin — the gradient NOISE scale, not the step
+    count, is the binding constraint.  Each microbatch carries its own
+    poison guard (non-finite / negative loss / exploded forward /
+    gnorm spike): a single bad draw used to no-op the whole step; here
+    it is simply dropped from the mean and the healthy rest still count.
 
     With ``mesh`` set, params/opt_state are pinned REPLICATED and frames
     to the ('data', 'spatial') layout via explicit in/out shardings.
@@ -97,17 +109,62 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
         lambdas = jax.numpy.asarray(lambda_tuple, jax.numpy.float32)
         lam = lambdas[jax.numpy.asarray(idx_rate, jax.numpy.int32)]
 
-        def loss_fn(p):
-            frame_list = [frames[i] for i in range(frames.shape[0])]
+        def loss_fn(p, fr, r):
+            frame_list = [fr[i] for i in range(fr.shape[0])]
             loss, logs = gop_rd_loss(
-                model, p, frame_list, gop, idx_rate, rng,
+                model, p, frame_list, gop, idx_rate, r,
                 l_codec=lam, l_mof=lam, dist_loss=dist,
                 weight_i_frame_loss=cfg.weight_i_frame_loss,
                 flow_penalty=flow_penalty,
                 alpha_penalty=alpha_penalty)
             return loss, logs
 
-        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def micro_ok(loss, logs, gn):
+            # Same poison taxonomy as the full-step guard below; see the
+            # block comment there for the provenance of each threshold.
+            return (jnp.isfinite(gn) & jnp.isfinite(loss)
+                    & (loss >= -1e-3) & (logs["psnr"] > -20.0)
+                    & (gn < 1e5))
+
+        if accum > 1:
+            n, bt = frames.shape[0], frames.shape[1]
+            bm = bt // accum
+            fr_mb = jnp.moveaxis(
+                frames.reshape((n, accum, bm) + frames.shape[2:]), 1, 0)
+            rngs = jax.random.split(rng, accum)
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), params)
+
+            def micro(carry, xs):
+                gsum, cnt = carry
+                fr1, r1 = xs
+                (mloss, mlogs), mgrads = grad_fn(params, fr1, r1)
+                gn = optax.global_norm(mgrads)
+                okf = micro_ok(mloss, mlogs, gn).astype(jnp.float32)
+                gsum = jax.tree.map(
+                    lambda a, g: a + okf * g.astype(jnp.float32),
+                    gsum, mgrads)
+                return (gsum, cnt + okf), (mloss, mlogs, okf)
+
+            (gsum, cnt), (losses, logs_st, oks) = jax.lax.scan(
+                micro, (zero_g, jnp.float32(0.0)), (fr_mb, rngs))
+            denom = jnp.maximum(cnt, 1.0)
+            grads = jax.tree.map(lambda a, p: (a / denom).astype(p.dtype),
+                                 gsum, params)
+            w = oks / denom
+            loss = jnp.sum(losses * w)
+            logs = jax.tree.map(lambda v: jnp.sum(v * w), logs_st)
+            # flow_max is a maximum, not a mean, over valid microbatches
+            logs["flow_max"] = jnp.max(
+                jnp.where(oks > 0.5, logs_st["flow_max"], 0.0))
+            logs["micro_skipped"] = jnp.float32(accum) - cnt
+            all_bad = cnt < 0.5
+        else:
+            (loss, logs), grads = grad_fn(params, frames, rng)
+            logs["micro_skipped"] = jnp.float32(0.0)
+            all_bad = False
         if mesh is not None:
             # Pin the grad tree replicated: GSPMD's propagation otherwise
             # invents partitions of tiny per-channel leaves along size-1
@@ -139,9 +196,7 @@ def make_train_step(model: FullNet, cfg: ModelConfig, gop: GopStruct,
         # recurring PSNR collapses follow 1e5+ spikes while healthy
         # steps stayed under ~8e4.  Skip the step instead of stepping
         # 1.0 along a noise direction.
-        ok = (jnp.isfinite(gnorm) & jnp.isfinite(loss)
-              & (loss >= -1e-3) & (logs["psnr"] > -20.0)
-              & (gnorm < 1e5))
+        ok = micro_ok(loss, logs, gnorm) & jnp.logical_not(all_bad)
         new_updates, new_opt_state = optimizer.update(grads, opt_state,
                                                       params)
         new_params = optax.apply_updates(params, new_updates)

@@ -285,6 +285,14 @@ def main():
                          "not repeated and the decay continues")
     ap.add_argument("--size", type=int, default=128)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--accum", type=int, default=1,
+                    help="gradient-accumulation microbatches per step: the "
+                         "effective batch is batch*accum but activation "
+                         "memory stays at --batch (lax.scan over "
+                         "microbatches).  Round-4 finding: B=2 gradient "
+                         "noise makes every continuation leg fall out of "
+                         "the flagship's sharp basin; cutting the noise "
+                         "scale, not adding steps, is the lever")
     ap.add_argument("--model", default="tiny",
                     choices=["tiny", "base", "bf16"])
     ap.add_argument("--gop", default="1_GOP_2")
@@ -415,7 +423,8 @@ def main():
         print(f"schedule fast-forwarded to step {args.step0}")
     step_fn = make_train_step(model, cfg, gop, opt, dist_loss=args.dist,
                               flow_penalty=args.flow_penalty,
-                              alpha_penalty=args.alpha_penalty)
+                              alpha_penalty=args.alpha_penalty,
+                              accum=args.accum)
 
     rng = jax.random.fold_in(jax.random.PRNGKey(args.seed), args.step0)
     n_rates = len(cfg.lambda_tradeoff)
@@ -448,7 +457,7 @@ def main():
 
     def gen(slot):
         r = slot_rngs[slot]
-        return (make_batch(r, len(gop), args.batch, args.size),
+        return (make_batch(r, len(gop), args.batch * args.accum, args.size),
                 int(r.choice(n_rates, p=rate_p)))
 
     futs = deque(ex.submit(gen, w) for w in range(workers))
@@ -516,7 +525,9 @@ def main():
                   f"flow {float(logs['flow_mag']):.2f}/"
                   f"{float(logs['flow_max']):.1f}  "
                   f"alpha {float(logs['alpha_mean']):.2f}  "
-                  f"({(time.time() - t0):.0f}s)", flush=True)
+                  + (f"mskip {int(logs['micro_skipped'])}  "
+                     if args.accum > 1 else "")
+                  + f"({(time.time() - t0):.0f}s)", flush=True)
         if not healthy():
             print(f"DIVERGED @ step {step}: last-{len(recent)}-step mean "
                   f"psnr {sum(recent) / len(recent):.2f} dB, mean flow "

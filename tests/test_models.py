@@ -178,3 +178,26 @@ def test_mixture_train_step_finite():
                            jax.random.PRNGKey(0))
     assert np.isfinite(float(logs["loss"]))
     assert float(logs["rate_bpp"]) > 0
+
+
+@pytest.mark.slow
+def test_train_step_grad_accum(model_and_params):
+    """accum=2 runs one optimizer update from the f32 mean of two
+    microbatch gradients (activation memory at microbatch size); the
+    logs carry the valid-microbatch count and the step stays healthy on
+    ordinary data."""
+    model, params = model_and_params
+    gop = generate_gop_struct("1_GOP_2")
+    opt = make_optimizer(1e-4)
+    opt_state = opt.init(params)
+    step = make_train_step(model, TINY, gop, opt, dist_loss="mse", accum=2)
+    frames = jax.random.uniform(jax.random.PRNGKey(0), (3, 4, H, W, 3))
+    p2, opt_state, logs = step(params, opt_state, frames, 0,
+                               jax.random.PRNGKey(1))
+    assert np.isfinite(float(logs["loss"]))
+    assert float(logs["grad_norm"]) > 0
+    assert float(logs["micro_skipped"]) == 0.0
+    assert float(logs["step_skipped"]) == 0.0
+    leaf0 = jax.tree_util.tree_leaves(params)[0]
+    leaf1 = jax.tree_util.tree_leaves(p2)[0]
+    assert not np.allclose(np.asarray(leaf0), np.asarray(leaf1))
