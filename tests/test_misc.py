@@ -152,3 +152,27 @@ def test_header_range_validation():
         GopHeader("1_GOP_4", 16.5).pack()
     with pytest.raises(ValueError):
         GopHeader("1_GOP_4", -1.0).pack()
+
+
+def test_gain_smooth_geometric_fixed_point():
+    """Row smoothing = geometric mean of neighbours: an exactly geometric
+    ladder is a fixed point, and a perturbed row is pulled back onto the
+    interpolation path (scripts/gain_smooth.py — the MS-SSIM ladder
+    inversion surgery)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from gain_smooth import smooth_rows
+
+    base = np.geomspace(4.0, 0.5, 7)[:, None] * np.ones((7, 3), np.float32)
+    tree = {"gain_I": {"enc_gain": base.copy()}, "conv": {"kernel": base}}
+    out, n = smooth_rows(tree, [1, 3])
+    assert n == 1  # only *_gain leaves are touched
+    np.testing.assert_allclose(out["gain_I"]["enc_gain"], base, rtol=1e-6)
+    np.testing.assert_array_equal(out["conv"]["kernel"], base)
+
+    bad = base.copy()
+    bad[2] *= 3.0
+    out, _ = smooth_rows({"g": {"dec_gain": bad}}, [2])
+    np.testing.assert_allclose(out["g"]["dec_gain"][2], base[2], rtol=1e-6)
