@@ -400,6 +400,12 @@ def main():
                 print("resumed optimizer state")
             except Exception as e:  # shape change (surgery): fresh state
                 print(f"optimizer state not loadable ({e}); fresh init")
+    if args.resume and not loaded_opt and not args.warmup:
+        print("WARNING: resuming without optimizer state and without "
+              "--warmup: fresh Adam mu/nu takes full-size normalized "
+              "steps from step one (the round-3 'resume shock'); every "
+              "failed continuation leg from bf16-r5 started this way — "
+              "consider --warmup 200", flush=True)
     if args.step0 and not loaded_opt:
         def _ff(s):
             # NB 'count' must be looked up in _fields: every tuple has a
@@ -544,6 +550,15 @@ def main():
                 and step % args.snapshot_every == 0):
             snap = f"{args.out}-s{step}"
             save_checkpoint(snap, cfg, params)
+            # Snapshots carry the optimizer state too: promoted flagships
+            # are COPIES of snapshot dirs, and every continuation leg from
+            # a promoted checkpoint used to start with fresh Adam mu/nu —
+            # the round-3 "resume shock" mode.  All four failed
+            # continuation legs from bf16-r5 (r6 / r6p / r7b4 / r7a4)
+            # shared that fresh-Adam start; with the state in the
+            # snapshot, promotion preserves the gradient-variance memory.
+            (Path(snap) / "opt_state.msgpack").write_bytes(
+                _ser.to_bytes(opt_state))
             if ema_params is not None:
                 save_checkpoint(f"{args.out}-ema-s{step}", cfg, ema_params)
             print(f"snapshot @ step {step} -> {snap}", flush=True)
